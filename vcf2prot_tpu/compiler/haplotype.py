@@ -1,0 +1,114 @@
+"""Haplotype assembler: fuse all transcript Task programs of one haplotype
+into a single flat program over shared tapes.
+
+Mirrors the base-offset re-indexing of the reference assembler (reference:
+src/data_structures/InternalRep/haplotype_instruction.rs:75-158) with one
+deliberate TPU-first change: reference-stream tasks are re-indexed against a
+single shared proteome blob (one copy in HBM for the whole cohort) instead of
+per-sample concatenated copies of the protein strings. The executed output is
+byte-identical; only the source of exe==0 copies differs.
+
+Transcripts that fail to compile are skipped with a warning, like the
+reference (haplotype_instruction.rs:100-102). Erased transcripts (start_lost)
+contribute an empty annotated span.
+"""
+from __future__ import annotations
+
+import sys
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..runtime.task import Task
+from . import transcript as transcript_mod
+from .qc import QcConfig, default_qc
+from .transcript import (
+    QcPanic,
+    TranscriptCompileError,
+    TranscriptProgram,
+)
+
+
+@dataclass
+class RefBlob:
+    """The whole reference proteome as one byte tape plus name -> span."""
+
+    data: np.ndarray                 # uint8[total]
+    spans: dict                      # name -> (offset, length)
+
+    @staticmethod
+    def from_ref_seqs(ref_seqs: dict) -> "RefBlob":
+        total = sum(len(s) for s in ref_seqs.values())
+        data = np.empty(total, dtype=np.uint8)
+        spans = {}
+        off = 0
+        for name, seq in ref_seqs.items():
+            b = seq.encode("ascii")
+            data[off:off + len(b)] = np.frombuffer(b, dtype=np.uint8)
+            spans[name] = (off, len(b))
+            off += len(b)
+        return RefBlob(data, spans)
+
+
+@dataclass
+class HaplotypeProgram:
+    """One haplotype's fused Task program.
+
+    ``tasks`` reference the shared proteome blob for exe==0 and the local
+    ``alt`` tape for exe==1. ``annotations`` lists ``(name, start, end)`` spans
+    of the result tape in transcript order (deterministic, unlike the
+    reference's HashMap iteration).
+    """
+
+    tasks: list = field(default_factory=list)
+    alt: str = ""
+    res_len: int = 0
+    annotations: list = field(default_factory=list)
+
+
+def compile_haplotype(
+    alt_transcripts,
+    ref_seqs: dict,
+    blob: RefBlob,
+    qc: QcConfig = None,
+    collect_errors: list = None,
+) -> HaplotypeProgram:
+    """Compile and fuse all of a haplotype's transcripts."""
+    if qc is None:
+        qc = default_qc()
+    fused = HaplotypeProgram()
+    tasks = fused.tasks
+    alt_chunks = []
+    alt_counter = 0
+    res_counter = 0
+    for alt_transcript in alt_transcripts:
+        try:
+            t_ins = transcript_mod.from_alt_transcript(alt_transcript, ref_seqs, qc)
+            prog = transcript_mod.get_g_rep(t_ins, qc)
+        except QcPanic:
+            raise
+        except TranscriptCompileError as err:
+            if collect_errors is not None:
+                collect_errors.append((alt_transcript.name, str(err)))
+            else:
+                print(
+                    f"While creating instructions for a haplotype: {err}; "
+                    "skipping this transcript ...",
+                    file=sys.stderr,
+                )
+            continue
+        ref_off = blob.spans[prog.name][0]
+        for t in prog.tasks:
+            if t.exe == 0:
+                tasks.append(Task(0, t.src + ref_off, t.length, t.dst + res_counter))
+            else:
+                tasks.append(Task(1, t.src + alt_counter, t.length, t.dst + res_counter))
+        fused.annotations.append(
+            (prog.name, res_counter, res_counter + prog.res_len)
+        )
+        alt_chunks.append(prog.alt)
+        alt_counter += len(prog.alt)
+        res_counter += prog.res_len
+    fused.alt = "".join(alt_chunks)
+    fused.res_len = res_counter
+    return fused

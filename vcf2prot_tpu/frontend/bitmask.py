@@ -1,0 +1,46 @@
+"""BCSQ per-sample bitmask decoder.
+
+bcftools/csq encodes, per sample, which comma-separated consequences of the
+INFO/BCSQ field are carried on each haplotype: 2 bits per consequence entry
+(even bit -> haplotype 1, odd bit -> haplotype 2), 15 entries per 32-bit word
+for multi-word masks.
+
+Behavioral contract mirrors the reference decoder (reference:
+src/data_structures/MaskDecoder.rs:32-153): ``""`` and ``"0$"`` decode to
+"no consequences"; scalar ``"N$"`` masks decode a single word; CSV masks decode
+multiple words with a +15 entry stride per word.
+"""
+from __future__ import annotations
+
+from ..constants import DEF_CONSEQ
+
+
+def decode_bitmask(mask: str):
+    """Decode a normalized bitmask string (output of ``get_bit_mask``).
+
+    Returns ``None`` for reference-only samples, otherwise a tuple
+    ``(hap1_indices, hap2_indices)`` of consequence-entry indices.
+    """
+    if mask == DEF_CONSEQ or mask == "0$":
+        return None
+    if mask.endswith("$"):
+        words = [int(mask[:-1])]
+    else:
+        words = [int(w) for w in mask.split(",")]
+    hap1: list = []
+    hap2: list = []
+    field_base = 0
+    for word in words:
+        index = 0
+        while word != 0:
+            if word & 1:
+                hap1.append(field_base + index)
+            if (word >> 1) & 1:
+                hap2.append(field_base + index)
+            word >>= 2
+            index += 1
+        # 15 two-bit entries per 32-bit word (sign bit unused); the stride is
+        # applied per word regardless of how many entries it actually carried
+        # (reference: MaskDecoder.rs:150).
+        field_base += 15
+    return hap1, hap2
