@@ -1,0 +1,106 @@
+"""Synthetic cohort generator for parity and scale tests.
+
+Generates random reference proteomes and per-haplotype consequence strings
+that are internally consistent (mutated positions account for upstream indel
+shifts, as bcftools/csq reports them).
+"""
+import random
+import string
+
+AA = "ACDEFGHIKLMNPQRSTVWY"
+
+
+def random_proteome(rng: random.Random, n_transcripts=20, min_len=60, max_len=800):
+    ref = {}
+    for i in range(n_transcripts):
+        name = f"ENST{i:011d}"
+        length = rng.randint(min_len, max_len)
+        ref[name] = "".join(rng.choice(AA) for _ in range(length))
+    return ref
+
+
+def _mk_csq(mut_type, name, change):
+    return f"{mut_type}|GENE|{name}|protein_coding|+|{change}|1A>1T"
+
+
+def random_transcript_mutations(rng: random.Random, name: str, seq: str):
+    """A sorted, non-overlapping mutation list for one transcript/haplotype."""
+    n = len(seq)
+    csqs = []
+    pos = rng.randint(1, max(1, n // 4))   # 1-based
+    shift = 0
+    had_del = False
+    n_muts = rng.randint(1, 6)
+    for k in range(n_muts):
+        if pos >= n - 6:
+            break
+        last = k == n_muts - 1
+        ref_res = seq[pos - 1]
+        mpos = pos + shift
+        star = "*" if (k > 0 and rng.random() < 0.3) else ""
+        kind = rng.random()
+        if last and kind < 0.35:
+            # terminal mutation families
+            term = rng.random()
+            if term < 0.3:
+                csqs.append(_mk_csq(star + "stop_gained", name, f"{pos}{ref_res}>{mpos}*"))
+            elif term < 0.6:
+                payload = "".join(rng.choice(AA) for _ in range(rng.randint(1, 12)))
+                csqs.append(
+                    _mk_csq(star + "frameshift", name, f"{pos}{ref_res}>{mpos}{ref_res}{payload}*")
+                )
+            elif term < 0.8 and not had_del:
+                # stop_lost after a non-adjacent deletion is rejected by the
+                # reference compiler's QC (its gap copy drops the stop slot),
+                # so only emit it on deletion-free haplotypes
+                stop = n  # 1-based stop position
+                payload = "".join(rng.choice(AA) for _ in range(rng.randint(1, 8)))
+                csqs.append(_mk_csq("stop_lost", name, f"{stop}*>{stop + shift}{payload}"))
+            else:
+                payload = "".join(rng.choice(AA) for _ in range(rng.randint(2, 8)))
+                csqs.append(
+                    _mk_csq(
+                        star + "frameshift&stop_retained" if not star else "*frameshift&stop_retained",
+                        name,
+                        f"{pos}{ref_res}>{mpos}{payload}*",
+                    )
+                )
+            break
+        r = kind
+        if r < 0.5:
+            new = rng.choice(AA.replace(ref_res, ""))
+            csqs.append(_mk_csq(star + "missense", name, f"{pos}{ref_res}>{mpos}{new}"))
+        elif r < 0.75:
+            ins = "".join(rng.choice(AA) for _ in range(rng.randint(1, 4)))
+            csqs.append(
+                _mk_csq(star + "inframe_insertion", name, f"{pos}{ref_res}>{mpos}{ref_res}{ins}")
+            )
+            shift += len(ins)
+        else:
+            span = rng.randint(2, min(4, n - pos))
+            del_seq = seq[pos - 1: pos - 1 + span]
+            csqs.append(
+                _mk_csq(star + "inframe_deletion", name, f"{pos}{del_seq}>{mpos}{del_seq[0]}")
+            )
+            shift -= span - 1
+            had_del = True
+            pos += span  # skip past the deleted span
+        pos += rng.randint(6, 40)
+    return csqs
+
+
+def random_cohort(seed=0, n_samples=8, n_transcripts=12):
+    """Returns (ref_seqs, {sample: (hap1_csqs, hap2_csqs)})."""
+    rng = random.Random(seed)
+    ref = random_proteome(rng, n_transcripts)
+    names = list(ref)
+    samples = {}
+    for s in range(n_samples):
+        haps = []
+        for _h in range(2):
+            csqs = []
+            for name in rng.sample(names, rng.randint(1, max(1, len(names) // 2))):
+                csqs.extend(random_transcript_mutations(rng, name, ref[name]))
+            haps.append(csqs)
+        samples[f"SAMPLE{s:04d}"] = (haps[0], haps[1])
+    return ref, samples

@@ -1,0 +1,101 @@
+"""Cohort-level packing: fuse many haplotype programs into one flat device
+program.
+
+This is the second level of the same base-offset re-indexing the haplotype
+assembler performs over transcripts (reference:
+src/data_structures/InternalRep/haplotype_instruction.rs:94-133) -- applied
+across *all samples' haplotypes* so a single device invocation executes the
+whole cohort chunk. The reference has no analogue: its unit of execution is
+one haplotype. On TPU, larger flat programs amortize dispatch and keep the
+gather saturated.
+
+Produces int32 SoA arrays plus per-haplotype result spans for host-side
+splitting. exe==0 sources already index the shared proteome blob; exe==1
+sources are re-based onto the cohort alt tape, which is appended to the blob
+to form one combined source tape.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..compiler.haplotype import HaplotypeProgram, RefBlob
+
+
+@dataclass
+class PackedCohort:
+    """One device-executable chunk."""
+
+    src_biased: np.ndarray   # int32[n_tasks] source index into combined tape
+    dst: np.ndarray          # int32[n_tasks] result-tape start (sorted)
+    alt: np.ndarray          # uint8[alt_len] cohort alt tape
+    total_res: int           # exact result bytes
+    spans: list              # (program_index, start, end) per haplotype
+    contiguous: bool         # searchsorted formulation is valid
+
+
+def pack_cohort(programs, blob: RefBlob) -> PackedCohort:
+    """Fuse haplotype programs into one flat SoA program.
+
+    The gather executor requires the contiguity invariant (tasks tile the
+    result tape in order). It holds by construction for compiler output; it is
+    re-validated here cheaply, and callers fall back to the serial host engine
+    when it does not hold (malformed input with QC disabled).
+    """
+    n_tasks = sum(len(p.tasks) for p in programs)
+    exe = np.empty(n_tasks, dtype=np.int64)
+    src = np.empty(n_tasks, dtype=np.int64)
+    length = np.empty(n_tasks, dtype=np.int64)
+    dst = np.empty(n_tasks, dtype=np.int64)
+    spans = []
+    alt_chunks = []
+    alt_counter = 0
+    res_counter = 0
+    i = 0
+    for p_idx, p in enumerate(programs):
+        for t in p.tasks:
+            exe[i] = t.exe
+            src[i] = t.src + (alt_counter if t.exe == 1 else 0)
+            length[i] = t.length
+            dst[i] = t.dst + res_counter
+            i += 1
+        alt_chunks.append(np.frombuffer(p.alt.encode("ascii"), dtype=np.uint8))
+        spans.append((p_idx, res_counter, res_counter + p.res_len))
+        alt_counter += len(p.alt)
+        res_counter += p.res_len
+    alt = (
+        np.concatenate(alt_chunks) if alt_chunks else np.empty(0, dtype=np.uint8)
+    )
+    # bias alt sources past the proteome blob: combined = blob || alt
+    src_biased = src + np.where(exe == 1, len(blob.data), 0)
+    ends = dst + length
+    contiguous = bool(
+        n_tasks == 0
+        or (
+            np.all(dst[1:] == ends[:-1])
+            and int(dst[0]) == 0
+            and int(ends[-1]) == res_counter
+        )
+    )
+    return PackedCohort(
+        src_biased.astype(np.int32),
+        dst.astype(np.int32),
+        alt,
+        res_counter,
+        spans,
+        contiguous,
+    )
+
+
+def pad_to_bucket(n: int, buckets=None) -> int:
+    """Round up to a bucket size so jitted programs are reused across chunks.
+
+    Power-of-two buckets bound recompilation at log2(max/min) distinct shapes.
+    """
+    if n <= 0:
+        return 1
+    b = 1
+    while b < n:
+        b <<= 1
+    return b

@@ -1,0 +1,123 @@
+"""TPU execution engine.
+
+The reference's (stubbed) accelerator runs one GPU thread per Task row
+(reference: gir.rs:283-299 SoA export, README.md:72). The TPU-native
+formulation is different and stronger: the contiguity invariant means the
+result tape is a *partition* of output positions by task, so the whole cohort
+executes as
+
+    t     = searchsorted(task_dst_starts, j) - 1      # task covering byte j
+    out[j] = combined[src_biased[t] + j - dst[t]]     # one gather
+
+-- two vectorized ops over static-shaped arrays, jitted once per shape bucket.
+``combined`` is the device-resident reference-proteome blob with the cohort
+alt tape appended; the blob is uploaded once per run and shared by every
+chunk, sample and haplotype.
+
+No data-dependent control flow, no raggedness on device: chunk totals are
+padded to power-of-two buckets and sliced exactly on the host.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..compiler.haplotype import HaplotypeProgram, RefBlob
+from . import cpu_engine
+from .pack import PackedCohort, pack_cohort, pad_to_bucket
+
+_EXECUTE_CACHE = {}
+
+
+def _get_jitted():
+    """Build the jitted-executor factory lazily so importing this module does
+    not initialize a JAX backend."""
+    import jax
+    import jax.numpy as jnp
+
+    if "fn" in _EXECUTE_CACHE:
+        return _EXECUTE_CACHE["fn"]
+
+    def build(out_size: int):
+        @jax.jit
+        def run(combined, dst, src_biased):
+            j = jnp.arange(out_size, dtype=jnp.int32)
+            t = jnp.searchsorted(dst, j, side="right") - 1
+            gidx = src_biased[t] + j - dst[t]
+            gidx = jnp.clip(gidx, 0, combined.shape[0] - 1)
+            return jnp.take(combined, gidx)
+
+        return run
+
+    _EXECUTE_CACHE["fn"] = build
+    return build
+
+
+@dataclass
+class ChunkResult:
+    outputs: list  # np.ndarray per program, aligned with the input order
+
+
+class TpuEngine:
+    """Device executor for cohorts of haplotype programs.
+
+    Upload the proteome blob once; then ``execute`` arbitrary cohort chunks.
+    Falls back to the serial host engine for (malformed) non-contiguous
+    programs so behavior degrades to the oracle rather than mis-executing.
+    """
+
+    def __init__(self, blob: RefBlob, device=None):
+        import jax
+        import jax.numpy as jnp
+
+        self._jnp = jnp
+        self._jax = jax
+        self.blob = blob
+        self.device = device or jax.devices()[0]
+        self._blob_dev = jax.device_put(blob.data, self.device)
+        self._run_cache = {}
+
+    def _runner(self, out_size: int):
+        if out_size not in self._run_cache:
+            self._run_cache[out_size] = _get_jitted()(out_size)
+        return self._run_cache[out_size]
+
+    def execute(self, programs) -> list:
+        """Execute haplotype programs; returns one uint8 array per program."""
+        packed = pack_cohort(programs, self.blob)
+        if not packed.contiguous:
+            # malformed task streams: defer to the host oracle per program
+            return [
+                cpu_engine.execute_tasks(p, self.blob) for p in programs
+            ]
+        return self._execute_packed(packed, programs)
+
+    def _execute_packed(self, packed: PackedCohort, programs) -> list:
+        jax, jnp = self._jax, self._jnp
+        if packed.total_res == 0:
+            return [np.empty(0, dtype=np.uint8) for _ in programs]
+        n_tasks = len(packed.dst)
+        task_bucket = pad_to_bucket(n_tasks)
+        out_bucket = pad_to_bucket(packed.total_res)
+        alt_bucket = pad_to_bucket(max(len(packed.alt), 1))
+        # pad task arrays: pad tasks start past the real tape end so
+        # searchsorted never selects them for real output positions
+        dst = np.full(task_bucket, np.iinfo(np.int32).max, dtype=np.int32)
+        dst[:n_tasks] = packed.dst
+        srcb = np.zeros(task_bucket, dtype=np.int32)
+        srcb[:n_tasks] = packed.src_biased
+        alt = np.zeros(alt_bucket, dtype=np.uint8)
+        alt[: len(packed.alt)] = packed.alt
+        combined = jnp.concatenate(
+            [self._blob_dev, jax.device_put(alt, self.device)]
+        )
+        run = self._runner(out_bucket)
+        out = np.asarray(
+            run(
+                combined,
+                jax.device_put(dst, self.device),
+                jax.device_put(srcb, self.device),
+            )
+        )[: packed.total_res]
+        return [out[start:end] for (_, start, end) in packed.spans]
