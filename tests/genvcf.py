@@ -104,3 +104,82 @@ def random_cohort(seed=0, n_samples=8, n_transcripts=12):
             haps.append(csqs)
         samples[f"SAMPLE{s:04d}"] = (haps[0], haps[1])
     return ref, samples
+
+
+def write_synthetic_vcf(path, ref, samples, rng=None):
+    """Emit a VCF whose records carry per-transcript consequence bundles.
+
+    For each transcript, one record holds all of a haplotype-bundle's
+    consequences comma-joined in INFO/BCSQ; per-sample FORMAT bitmasks select
+    which haplotype carries the bundle. Returns {sample: (hap1_csqs,
+    hap2_csqs)} describing what each sample should decode to.
+    """
+    rng = rng or random.Random(1234)
+    sample_names = list(samples)
+    # collect one bundle per (transcript) from the union of per-sample lists:
+    # here each sample's per-haplotype csq list IS its bundle, so records are
+    # emitted per (sample, hap, transcript) with masks set only for carriers.
+    # To exercise shared records, group identical bundles.
+    bundles = {}
+    for sname, (h1, h2) in samples.items():
+        for hap_idx, csqs in ((0, h1), (1, h2)):
+            by_txp = {}
+            for c in csqs:
+                by_txp.setdefault(c.split("|")[2], []).append(c)
+            for txp, group in by_txp.items():
+                key = tuple(group)
+                bundles.setdefault(key, []).append((sname, hap_idx))
+    lines = []
+    lines.append("##fileformat=VCFv4.2")
+    lines.append('##INFO=<ID=BCSQ,Number=.,Type=String,Description="csq">')
+    header = ["#CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER", "INFO", "FORMAT"]
+    header.extend(sample_names)
+    lines.append("\t".join(header))
+    pos = 1000
+    for key, carriers in bundles.items():
+        csq_payload = ",".join(key)
+        k = len(key)
+        # per-word bitmask values for hap1/hap2 carriage of all k entries
+        def mask_words(hap_bit):
+            words = []
+            remaining = k
+            while remaining > 0:
+                take = min(15, remaining)
+                w = 0
+                for i in range(take):
+                    w |= 1 << (2 * i + hap_bit)
+                words.append(w)
+                remaining -= take
+            return words
+
+        n_words = (k + 14) // 15
+        per_sample = {}
+        for sname, hap_idx in carriers:
+            cur = per_sample.get(sname, [0] * n_words)
+            for i, w in enumerate(mask_words(hap_idx)):
+                cur[i] = cur[i] | w
+            per_sample[sname] = cur
+        cols = []
+        for sname in sample_names:
+            words = per_sample.get(sname)
+            if words is None:
+                gt = "0|0:."
+            else:
+                gt = "0|1:" + ",".join(str(w) for w in words)
+            cols.append(gt)
+        rec = [
+            "1", str(pos), f"v{pos}", "A", "T", "100", "PASS",
+            f"AF=0.1;BCSQ={csq_payload}", "GT:BCSQ",
+        ] + cols
+        lines.append("\t".join(rec))
+        pos += 10
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+
+def write_fasta(path, ref):
+    with open(path, "w") as fh:
+        for name, seq in ref.items():
+            fh.write(f">{name}\n")
+            for i in range(0, len(seq), 70):
+                fh.write(seq[i:i + 70] + "\n")

@@ -1,0 +1,101 @@
+"""Command-line interface.
+
+Flag-compatible with the reference CLI (reference: src/parts/cli.rs:104-172):
+
+  -f/--vcf_file      phased, bcftools/csq-annotated VCF (required)
+  -r/--fasta_ref     reference proteome FASTA (required)
+  -o/--output_path   output directory (required)
+  -g/--engine        st | mt | tpu (gpu is accepted as an alias for tpu --
+                     this build supplies the accelerator the reference stubs)
+  -v/--verbose       stage timestamps
+  -s/--stats         write the three statistics TSVs
+  -i/--write_i_map   dump per-sample intermediate maps as JSON
+  -a/--write_all     also emit unaltered reference sequences per haplotype
+  -c/--compressed    gzip output FASTAs
+  -w/--single_thread write files from a single thread
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from .compiler.qc import default_qc
+from .pipeline import PipelineConfig, run_pipeline
+from .runtime.engine import Engine
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="vcf2prot-tpu",
+        description=(
+            "Generate personalized proteomes (one FASTA per sample) from a "
+            "phased, bcftools/csq-annotated VCF and a reference proteome."
+        ),
+    )
+    p.add_argument("-f", "--vcf_file", required=True, help="path to the input VCF")
+    p.add_argument("-r", "--fasta_ref", required=True, help="reference proteome FASTA")
+    p.add_argument("-o", "--output_path", required=True, help="output directory")
+    p.add_argument(
+        "-g",
+        "--engine",
+        default="tpu",
+        help="execution engine: st, mt or tpu (default tpu; gpu = tpu alias)",
+    )
+    p.add_argument("-v", "--verbose", action="store_true")
+    p.add_argument("-s", "--stats", action="store_true")
+    p.add_argument("-i", "--write_i_map", action="store_true")
+    p.add_argument("-a", "--write_all", action="store_true")
+    p.add_argument("-c", "--compressed", action="store_true")
+    p.add_argument("-w", "--single_thread", action="store_true")
+    p.add_argument(
+        "--threads", type=int, default=0, help="host worker threads (0 = auto)"
+    )
+    return p
+
+
+def check_paths(args) -> None:
+    """Existence checks mirroring the reference (cli.rs:32-55)."""
+    for path, what in ((args.vcf_file, "VCF file"), (args.fasta_ref, "FASTA file")):
+        if not os.path.exists(path):
+            sys.exit(f"The provided {what}: {path} does not exist")
+    if not os.path.isdir(args.output_path):
+        sys.exit(
+            f"The provided output path: {args.output_path} does not exist or "
+            "is not a directory"
+        )
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    check_paths(args)
+    try:
+        engine = Engine.from_str(args.engine)
+    except ValueError as err:
+        sys.exit(str(err))
+    cfg = PipelineConfig(
+        vcf_path=args.vcf_file,
+        fasta_path=args.fasta_ref,
+        outdir=args.output_path,
+        engine=engine,
+        verbose=args.verbose,
+        compute_stats=args.stats,
+        write_int_map=args.write_i_map,
+        write_all=args.write_all,
+        write_compressed=args.compressed,
+        single_thread_writes=args.single_thread,
+        num_threads=args.threads,
+        qc=default_qc(),
+    )
+    result = run_pipeline(cfg)
+    if args.verbose:
+        print(
+            f"Done: {result.n_samples} samples, "
+            f"{result.n_haplotype_seqs} haplotype sequences, "
+            f"{result.total_output_bytes} output residues"
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

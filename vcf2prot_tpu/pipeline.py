@@ -1,0 +1,171 @@
+"""End-to-end pipeline orchestration.
+
+Mirrors the reference driver composition (reference: src/main.rs:10-62,
+src/parts/io.rs, src/parts/exec.rs): parse VCF -> per-sample intermediate
+maps -> (optional dumps/stats) -> compile -> execute -> write, with the
+execution stage dispatched to the host oracle (st/mt) or the TPU engine.
+"""
+from __future__ import annotations
+
+import os
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+
+from .compiler.haplotype import RefBlob
+from .compiler.proband import compile_proband
+from .compiler.qc import QcConfig, default_qc
+from .frontend import fasta, vcf_reader
+from .frontend.maps import build_int_map_from_early
+from .io.writers import (
+    PersonalizedProteome,
+    write_intmap2json,
+    write_num_mutation_per_proband,
+    write_number_of_mutations_per_transcript,
+    write_personalized_proteomes,
+    write_type_mutations_per_patient,
+)
+from .runtime import cpu_engine
+from .runtime.engine import Engine
+from .stats.summary import compute_stats
+from .utils.timers import StageTimer
+
+# Haplotype programs are executed in chunks bounded by result-tape bytes so
+# device buffers stay well under HBM while still amortizing dispatch.
+DEFAULT_CHUNK_RES_BYTES = 256 * 1024 * 1024
+
+
+@dataclass
+class PipelineConfig:
+    vcf_path: str
+    fasta_path: str
+    outdir: str
+    engine: Engine = Engine.TPU
+    verbose: bool = False
+    compute_stats: bool = False
+    write_int_map: bool = False
+    write_all: bool = False
+    write_compressed: bool = False
+    single_thread_writes: bool = False
+    num_threads: int = 0
+    chunk_res_bytes: int = DEFAULT_CHUNK_RES_BYTES
+    qc: QcConfig = None
+
+
+@dataclass
+class PipelineResult:
+    proteomes: list = field(default_factory=list)
+    n_samples: int = 0
+    n_haplotype_seqs: int = 0
+    total_output_bytes: int = 0
+    durations: dict = field(default_factory=dict)
+
+
+def parse_vcf_to_int_maps(vcf_path, num_threads=0):
+    vcf = vcf_reader.read_vcf(vcf_path)
+    early = vcf_reader.build_early_maps(vcf, num_threads=num_threads)
+    if num_threads and num_threads > 1:
+        with ThreadPoolExecutor(max_workers=num_threads) as pool:
+            return list(pool.map(build_int_map_from_early, early))
+    return [build_int_map_from_early(e) for e in early]
+
+
+def _chunk_indices(programs, chunk_res_bytes):
+    """Greedy chunking of haplotype programs by result size."""
+    chunks = []
+    cur = []
+    cur_bytes = 0
+    for i, p in enumerate(programs):
+        if cur and cur_bytes + p.res_len > chunk_res_bytes:
+            chunks.append(cur)
+            cur = []
+            cur_bytes = 0
+        cur.append(i)
+        cur_bytes += p.res_len
+    if cur:
+        chunks.append(cur)
+    return chunks
+
+
+def execute_programs(programs, blob, engine: Engine, chunk_res_bytes=DEFAULT_CHUNK_RES_BYTES):
+    """Execute haplotype programs with the selected engine; returns one uint8
+    array per program."""
+    if engine is Engine.TPU:
+        from .runtime.tpu_engine import TpuEngine
+
+        dev = TpuEngine(blob)
+        outputs = [None] * len(programs)
+        for chunk in _chunk_indices(programs, chunk_res_bytes):
+            outs = dev.execute([programs[i] for i in chunk])
+            for i, o in zip(chunk, outs):
+                outputs[i] = o
+        return outputs
+    if engine is Engine.MT:
+        with ThreadPoolExecutor() as pool:
+            return list(
+                pool.map(lambda p: cpu_engine.execute_tasks(p, blob), programs)
+            )
+    return [cpu_engine.execute_tasks(p, blob) for p in programs]
+
+
+def run_pipeline(cfg: PipelineConfig) -> PipelineResult:
+    timer = StageTimer(cfg.verbose)
+    qc = cfg.qc if cfg.qc is not None else default_qc()
+    result = PipelineResult()
+
+    with timer.stage("Reading and loading the VCF file"):
+        int_maps = parse_vcf_to_int_maps(cfg.vcf_path, cfg.num_threads)
+
+    with timer.stage("Loading the Reference file"):
+        ref_seqs = fasta.read_fasta(cfg.fasta_path)
+        blob = RefBlob.from_ref_seqs(ref_seqs)
+
+    if cfg.write_int_map:
+        with timer.stage("Writing the intermediate representation map"):
+            write_intmap2json(os.path.join(cfg.outdir, "int_maps"), int_maps)
+
+    if cfg.compute_stats:
+        with timer.stage("Computing and writing the stats"):
+            per_proband, per_type, per_transcript = compute_stats(int_maps)
+            write_num_mutation_per_proband(cfg.outdir, per_proband)
+            write_type_mutations_per_patient(cfg.outdir, per_type)
+            write_number_of_mutations_per_transcript(cfg.outdir, per_transcript)
+
+    with timer.stage("Generating personalized genomes (compile)"):
+        proband_programs = [
+            compile_proband(m, ref_seqs, blob, qc) for m in int_maps
+        ]
+        flat = []
+        for pp in proband_programs:
+            flat.append(pp.hap1)
+            flat.append(pp.hap2)
+
+    with timer.stage("Generating personalized genomes (execute)"):
+        outputs = execute_programs(flat, blob, cfg.engine, cfg.chunk_res_bytes)
+
+    with timer.stage("Assembling proteomes"):
+        for i, pp in enumerate(proband_programs):
+            h1, h2 = outputs[2 * i], outputs[2 * i + 1]
+            result.proteomes.append(
+                PersonalizedProteome(
+                    pp.proband, h1, pp.hap1.annotations, h2, pp.hap2.annotations
+                )
+            )
+            result.n_haplotype_seqs += len(pp.hap1.annotations) + len(
+                pp.hap2.annotations
+            )
+            result.total_output_bytes += h1.size + h2.size
+
+    with timer.stage("Write the generated results"):
+        threads = 0 if cfg.single_thread_writes else (cfg.num_threads or os.cpu_count())
+        write_personalized_proteomes(
+            result.proteomes,
+            cfg.outdir,
+            write_all=cfg.write_all,
+            write_compressed=cfg.write_compressed,
+            ref_seqs=ref_seqs,
+            num_threads=threads,
+        )
+
+    result.n_samples = len(int_maps)
+    result.durations = dict(timer.durations)
+    return result
