@@ -1,0 +1,58 @@
+"""Multi-chip (virtual 8-device CPU mesh) execution parity and balance."""
+import numpy as np
+import pytest
+
+from genvcf import random_cohort
+from vcf2prot_tpu.compiler.haplotype import RefBlob, compile_haplotype
+from vcf2prot_tpu.compiler.qc import QcConfig
+from vcf2prot_tpu.frontend.maps import group_muts_per_transcript
+from vcf2prot_tpu.parallel.mesh import make_mesh
+from vcf2prot_tpu.parallel.sharded import ShardedEngine, partition_programs
+from vcf2prot_tpu.runtime.cpu_engine import execute_tasks
+
+
+def build_programs(seed, n_samples=8, n_transcripts=12):
+    ref, samples = random_cohort(seed, n_samples, n_transcripts)
+    blob = RefBlob.from_ref_seqs(ref)
+    programs = []
+    for _name, (h1, h2) in samples.items():
+        for csqs in (h1, h2):
+            programs.append(
+                compile_haplotype(
+                    group_muts_per_transcript(csqs), ref, blob, qc=QcConfig()
+                )
+            )
+    return blob, programs
+
+
+def test_mesh_has_8_virtual_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_sharded_matches_oracle(seed):
+    blob, programs = build_programs(seed)
+    engine = ShardedEngine(blob, make_mesh())
+    outs = engine.execute(programs)
+    assert len(outs) == len(programs)
+    for prog, out in zip(programs, outs):
+        np.testing.assert_array_equal(execute_tasks(prog, blob), out)
+
+
+def test_sharded_on_subset_mesh():
+    blob, programs = build_programs(1)
+    engine = ShardedEngine(blob, make_mesh(2))
+    outs = engine.execute(programs)
+    for prog, out in zip(programs, outs):
+        np.testing.assert_array_equal(execute_tasks(prog, blob), out)
+
+
+def test_partition_balance():
+    blob, programs = build_programs(2)
+    shards = partition_programs(programs, 4)
+    assert sorted(i for s in shards for i in s) == list(range(len(programs)))
+    loads = [sum(programs[i].res_len for i in s) for s in shards]
+    assert max(loads) <= 2 * (sum(loads) / len(loads)) + max(
+        p.res_len for p in programs
+    )

@@ -66,12 +66,41 @@ class HaplotypeProgram:
     annotations: list = field(default_factory=list)
 
 
+def _compile_transcript_cached(alt_transcript, ref_seqs, qc, cache):
+    """Compile one transcript, memoized on its full mutation identity.
+
+    Cohorts share variant bundles across samples and haplotypes, and the
+    compiled TranscriptProgram is position-relocatable (transcript-local
+    indices), so one compilation serves every carrier. Failures are cached
+    too (as the error) so a bad transcript is diagnosed once.
+    """
+    key = None
+    if cache is not None:
+        key = (alt_transcript.name, alt_transcript.csq_key)
+        hit = cache.get(key)
+        if hit is not None:
+            if isinstance(hit, TranscriptCompileError):
+                raise hit
+            return hit
+    try:
+        t_ins = transcript_mod.from_alt_transcript(alt_transcript, ref_seqs, qc)
+        prog = transcript_mod.get_g_rep(t_ins, qc)
+    except TranscriptCompileError as err:
+        if cache is not None:
+            cache[key] = err
+        raise
+    if cache is not None:
+        cache[key] = prog
+    return prog
+
+
 def compile_haplotype(
     alt_transcripts,
     ref_seqs: dict,
     blob: RefBlob,
     qc: QcConfig = None,
     collect_errors: list = None,
+    compile_cache: dict = None,
 ) -> HaplotypeProgram:
     """Compile and fuse all of a haplotype's transcripts."""
     if qc is None:
@@ -83,8 +112,9 @@ def compile_haplotype(
     res_counter = 0
     for alt_transcript in alt_transcripts:
         try:
-            t_ins = transcript_mod.from_alt_transcript(alt_transcript, ref_seqs, qc)
-            prog = transcript_mod.get_g_rep(t_ins, qc)
+            prog = _compile_transcript_cached(
+                alt_transcript, ref_seqs, qc, compile_cache
+            )
         except QcPanic:
             raise
         except TranscriptCompileError as err:

@@ -21,9 +21,14 @@ def compile_proband(
     ref_seqs: dict,
     blob: RefBlob,
     qc: QcConfig = None,
+    compile_cache: dict = None,
 ) -> ProbandProgram:
     return ProbandProgram(
         int_map.proband,
-        compile_haplotype(int_map.mutations1, ref_seqs, blob, qc),
-        compile_haplotype(int_map.mutations2, ref_seqs, blob, qc),
+        compile_haplotype(
+            int_map.mutations1, ref_seqs, blob, qc, compile_cache=compile_cache
+        ),
+        compile_haplotype(
+            int_map.mutations2, ref_seqs, blob, qc, compile_cache=compile_cache
+        ),
     )

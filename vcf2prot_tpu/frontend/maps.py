@@ -32,6 +32,9 @@ class EarlyMap:
 class AltTranscript:
     name: str
     alts: list = field(default_factory=list)   # list[Mutation]
+    # cheap identity for the transcript-compile memo: the tuple of source
+    # consequence strings (string hashes are cached by CPython)
+    csq_key: tuple = ()
 
     @staticmethod
     def from_csq_strings(name: str, csq_strings) -> "AltTranscript":
@@ -39,11 +42,10 @@ class AltTranscript:
         dropped (the reference's filter_map; vcf_ds.rs:379-386)."""
         alts = []
         for csq in csq_strings:
-            try:
-                alts.append(Mutation.from_csq(csq))
-            except text_parser.CsqParseError:
-                continue
-        return AltTranscript(name, alts)
+            m = _parse_mutation_cached(csq)
+            if m is not None:
+                alts.append(m)
+        return AltTranscript(name, alts, tuple(csq_strings))
 
     def sort_alterations(self) -> None:
         self.alts.sort(key=lambda m: m.sort_key())
@@ -107,59 +109,79 @@ class IntMap:
         }
 
 
+# consequence-string parse memo: identical CSQ strings repeat across samples
+# and haplotypes in cohort VCFs; Mutation is frozen so one instance is shared.
+_MUTATION_MEMO: dict = {}
+_MUTATION_MEMO_MAX = 1 << 20
+
+
+def _parse_mutation_cached(csq: str):
+    """csq string -> Mutation (or None if unparseable), memoized."""
+    hit = _MUTATION_MEMO.get(csq, _MEMO_MISS)
+    if hit is not _MEMO_MISS:
+        return hit
+    try:
+        m = Mutation.from_csq(csq)
+    except text_parser.CsqParseError:
+        m = None
+    if len(_MUTATION_MEMO) < _MUTATION_MEMO_MAX:
+        _MUTATION_MEMO[csq] = m
+    return m
+
+
+_MEMO_MISS = object()
+
+
 def get_unique_transcripts(csq_strings) -> list:
     """Sorted unique transcript ids among parseable consequence strings
     (reference: vcf_tools.rs:116-133)."""
-    names = []
+    names = set()
     for csq in csq_strings:
-        try:
-            names.append(text_parser.split_csq_string(csq)[1])
-        except text_parser.CsqParseError:
-            continue
-    names.sort()
-    out = []
-    for n in names:
-        if not out or out[-1] != n:
-            out.append(n)
-    return out
+        m = _parse_mutation_cached(csq)
+        if m is not None:
+            names.add(m.transcript)
+    return sorted(names)
 
 
 def group_muts_per_transcript(csq_strings) -> list:
     """Group one haplotype's consequence strings by transcript.
 
-    Keeps the reference's substring-membership grouping semantics
-    (``csq.contains(transcript)``; vcf_tools.rs:89-92) so border cases group
-    identically, but indexes strings by transcript id first to avoid the
-    reference's O(n_transcripts * n_mutations) scan.
+    Single parse pass with a per-cohort string memo. The reference groups by
+    substring membership (``csq.contains(transcript)``; vcf_tools.rs:89-92):
+    a transcript id that is a substring of a *longer* id would capture the
+    longer transcript's mutations too. Transcript ids are fixed-width ENST
+    accessions in practice, so the pairwise scan is only run when ids of
+    different lengths coexist -- equal-length ids cannot be strict substrings.
     """
-    unique = get_unique_transcripts(csq_strings)
-    if not unique:
-        return []
     exact: dict = {}
+    order: list = []
+    lengths = set()
     for csq in csq_strings:
-        try:
-            tname = text_parser.split_csq_string(csq)[1]
-        except text_parser.CsqParseError:
-            tname = None
-        if tname is not None:
-            exact.setdefault(tname, []).append(csq)
-    # transcripts whose id is a substring of another id need the full scan to
-    # reproduce the reference's `contains` behavior; this is rare (ids are
-    # fixed-width ENST accessions), so detect and handle only those.
-    sorted_ids = unique
+        m = _parse_mutation_cached(csq)
+        if m is None:
+            continue
+        tname = m.transcript
+        if tname not in exact:
+            exact[tname] = []
+            order.append(tname)
+            lengths.add(len(tname))
+        exact[tname].append(csq)
+    if not exact:
+        return []
     needs_scan = set()
-    for i, tid in enumerate(sorted_ids):
-        for other in sorted_ids[i + 1:]:
-            if not other.startswith(tid) and tid not in other:
-                continue
-            if tid != other and tid in other:
-                needs_scan.add(tid)
+    if len(lengths) > 1:
+        ids = sorted(exact)
+        for tid in ids:
+            for other in ids:
+                if tid != other and tid in other:
+                    needs_scan.add(tid)
+                    break
     out = []
-    for tname in unique:
+    for tname in sorted(order):
         if tname in needs_scan:
             group = [c for c in csq_strings if tname in c]
         else:
-            group = exact.get(tname, [])
+            group = exact[tname]
         out.append(AltTranscript.from_csq_strings(tname, group).drop_replicate())
     return out
 

@@ -103,48 +103,87 @@ def get_consequence(line: str) -> str:
     return info.split("BCSQ=")[1]
 
 
-def _decode_sample(consequences, sample_fields):
-    """Decode one sample's column across all records into per-haplotype
-    consequence-string lists (reference: vcf_ds.rs:215-295)."""
-    hap1: list = []
-    hap2: list = []
-    for csq, sample_field in zip(consequences, sample_fields):
-        mask = text_parser.get_bit_mask(sample_field)
-        decoded = decode_bitmask(mask)
-        if decoded is None:
-            continue
-        idx1, idx2 = decoded
-        if not idx1 and not idx2:
-            continue
-        entries = csq.split(",")
-        for i in idx1:
-            entry = entries[i]
-            if entry.split("|", 1)[0] in SUP_TYPE_SET:
-                hap1.append(entry)
-        for i in idx2:
-            entry = entries[i]
-            if entry.split("|", 1)[0] in SUP_TYPE_SET:
-                hap2.append(entry)
-    return hap1, hap2
+def _decode_mask_cached(sample_field: str, cache: dict):
+    """``sample column -> (hap1 indices, hap2 indices) or None``, memoized.
+
+    Cohort sample columns repeat heavily (genotype strings are drawn from a
+    small set per record shape), so a per-run memo removes nearly all of the
+    string parsing from the hot loop. Behavior is identical to
+    get_bit_mask + decode_bitmask (vcf_ds.rs:215-234, MaskDecoder.rs:32-153).
+    """
+    hit = cache.get(sample_field, _MISS)
+    if hit is not _MISS:
+        return hit
+    mask = text_parser.get_bit_mask(sample_field)
+    decoded = decode_bitmask(mask)
+    cache[sample_field] = decoded
+    return decoded
+
+
+_MISS = object()
 
 
 def build_early_maps(vcf: VcfFile, num_threads: int = 0) -> list:
-    """Per-sample EarlyMaps: transpose + bitmask decode + SUP_TYPE filter.
+    """Per-sample EarlyMaps: bitmask decode + SUP_TYPE filter.
 
-    The transpose and decode are fused: each record line is split once and its
-    sample columns dispatched, instead of building a records x samples string
-    matrix as the reference does (vcf_ds.rs:126-191).
+    Record-major single pass: each record line is split once, its consequence
+    list is classified once, and only carrier sample columns are decoded (the
+    reference instead materializes a records x samples string matrix and
+    parses every cell; vcf_ds.rs:126-295). Cohort VCFs are sparse -- most
+    sample columns are non-carriers -- so this is the asymptotic win that
+    keeps the host frontend ahead of the device.
     """
-    consequences = [get_consequence(line) for line in vcf.records]
-    split_records = [line.split("\t")[9:] for line in vcf.records]
     n = len(vcf.probands)
+    haps1 = [[] for _ in range(n)]
+    haps2 = [[] for _ in range(n)]
+    mask_cache: dict = {}
 
-    def decode_one(s_idx: int) -> EarlyMap:
-        col = [rec[s_idx] for rec in split_records]
-        hap1, hap2 = _decode_sample(consequences, col)
-        return EarlyMap(vcf.probands[s_idx], hap1, hap2)
+    def decode_records(records, haps1, haps2):
+        for line in records:
+            fields = line.split("\t")
+            csq = fields[7].split("BCSQ=")[1]
+            entries = None
+            supported = None
+            for s_idx in range(n):
+                decoded = _decode_mask_cached(fields[9 + s_idx], mask_cache)
+                if decoded is None:
+                    continue
+                idx1, idx2 = decoded
+                if not idx1 and not idx2:
+                    continue
+                if entries is None:
+                    entries = csq.split(",")
+                    supported = [
+                        e.split("|", 1)[0] in SUP_TYPE_SET for e in entries
+                    ]
+                for i in idx1:
+                    if supported[i]:
+                        haps1[s_idx].append(entries[i])
+                for i in idx2:
+                    if supported[i]:
+                        haps2[s_idx].append(entries[i])
 
-    if num_threads and num_threads > 1 and n > 1:
+    if num_threads and num_threads > 1 and len(vcf.records) > 1024:
+        # chunk records, decode in parallel, merge in record order so the
+        # per-sample mutation order matches the serial pass
+        chunk = (len(vcf.records) + num_threads - 1) // num_threads
+        parts = []
+        for c in range(0, len(vcf.records), chunk):
+            parts.append(
+                (
+                    vcf.records[c:c + chunk],
+                    [[] for _ in range(n)],
+                    [[] for _ in range(n)],
+                )
+            )
         with ThreadPoolExecutor(max_workers=num_threads) as pool:
-            return list(pool.map(decode_one, range(n)))
-    return [decode_one(i) for i in range(n)]
+            list(pool.map(lambda p: decode_records(*p), parts))
+        for _recs, p1, p2 in parts:
+            for s_idx in range(n):
+                haps1[s_idx].extend(p1[s_idx])
+                haps2[s_idx].extend(p2[s_idx])
+    else:
+        decode_records(vcf.records, haps1, haps2)
+    return [
+        EarlyMap(vcf.probands[i], haps1[i], haps2[i]) for i in range(n)
+    ]

@@ -1,0 +1,23 @@
+"""Device-mesh helpers.
+
+The reference's only multi-node story is a Python process pool sharding
+samples across separate binary invocations (reference:
+automation_scripts/parallization_python.py:196-207). Here the same sample-axis
+sharding is an in-program device mesh: one ``dp`` axis over all chips, with
+the reference-proteome blob replicated and cohort chunks sharded.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def make_mesh(n_devices: int = 0):
+    """A 1-D ``dp`` mesh over the first ``n_devices`` devices (all by
+    default)."""
+    import jax
+    from jax.sharding import Mesh
+
+    devices = jax.devices()
+    if n_devices:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), ("dp",))

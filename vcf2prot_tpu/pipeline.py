@@ -89,6 +89,10 @@ def _chunk_indices(programs, chunk_res_bytes):
 def execute_programs(programs, blob, engine: Engine, chunk_res_bytes=DEFAULT_CHUNK_RES_BYTES):
     """Execute haplotype programs with the selected engine; returns one uint8
     array per program."""
+    if engine is Engine.AUTO:
+        from .runtime.engine import resolve_auto
+
+        engine = resolve_auto()
     if engine is Engine.TPU:
         from .runtime.tpu_engine import TpuEngine
 
@@ -131,8 +135,10 @@ def run_pipeline(cfg: PipelineConfig) -> PipelineResult:
             write_number_of_mutations_per_transcript(cfg.outdir, per_transcript)
 
     with timer.stage("Generating personalized genomes (compile)"):
+        compile_cache: dict = {}
         proband_programs = [
-            compile_proband(m, ref_seqs, blob, qc) for m in int_maps
+            compile_proband(m, ref_seqs, blob, qc, compile_cache)
+            for m in int_maps
         ]
         flat = []
         for pp in proband_programs:

@@ -16,6 +16,7 @@ class Engine(Enum):
     ST = "st"     # single-threaded host execution
     MT = "mt"     # multi-threaded host execution
     TPU = "tpu"   # device (JAX/XLA) execution
+    AUTO = "auto" # probe the device:host link, pick TPU or host
 
     @staticmethod
     def from_str(s: str) -> "Engine":
@@ -26,4 +27,57 @@ class Engine(Enum):
             return Engine.MT
         if s in ("tpu", "gpu"):
             return Engine.TPU
-        raise ValueError(f"unsupported engine: {s} (expected st, mt or tpu)")
+        if s == "auto":
+            return Engine.AUTO
+        raise ValueError(
+            f"unsupported engine: {s} (expected st, mt, tpu or auto)"
+        )
+
+
+# Device->host bandwidth below which device execution cannot beat host
+# memcpy-speed assembly for an output that must land on host disk. On real
+# TPU hosts (PCIe, GB/s) the probe always selects the device; behind a slow
+# forwarded link it degrades gracefully to the host engine.
+MIN_D2H_BYTES_PER_SEC = 100e6
+
+
+def resolve_auto(sample_bytes: int = 1 << 23, timeout_s: float = 8.0) -> "Engine":
+    """Probe device round-trip bandwidth and pick TPU or MT.
+
+    The probe runs under a watchdog: a flaky forwarded link can stall a fetch
+    for minutes, and a hung probe must itself count as a failed probe.
+    """
+    import threading
+    import time
+
+    import numpy as np
+
+    result = {"engine": Engine.MT}
+
+    def probe():
+        try:
+            import jax
+
+            dev = jax.devices()[0]
+            if dev.platform == "cpu":
+                return
+            rates = []
+            for _ in range(2):
+                x = np.random.randint(0, 255, sample_bytes, dtype=np.uint8)
+                xd = jax.device_put(x, dev)
+                xd.block_until_ready()
+                t0 = time.perf_counter()
+                np.asarray(xd + 1)  # fresh buffer each probe, defeats caching
+                rates.append(
+                    sample_bytes / max(time.perf_counter() - t0, 1e-9)
+                )
+            # the link must be *consistently* fast, not just bursting
+            if min(rates) >= MIN_D2H_BYTES_PER_SEC:
+                result["engine"] = Engine.TPU
+        except Exception:
+            pass
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return result["engine"]

@@ -113,11 +113,12 @@ class TpuEngine:
             [self._blob_dev, jax.device_put(alt, self.device)]
         )
         run = self._runner(out_bucket)
-        out = np.asarray(
-            run(
-                combined,
-                jax.device_put(dst, self.device),
-                jax.device_put(srcb, self.device),
-            )
-        )[: packed.total_res]
+        out_dev = run(
+            combined,
+            jax.device_put(dst, self.device),
+            jax.device_put(srcb, self.device),
+        )
+        # fetch only the live prefix -- the device-side slice avoids paying
+        # host-link bandwidth for bucket padding
+        out = np.asarray(out_dev[: packed.total_res])
         return [out[start:end] for (_, start, end) in packed.spans]
