@@ -50,20 +50,37 @@ class RefBlob:
         return RefBlob(data, spans)
 
 
+def _empty_i64():
+    return np.empty(0, dtype=np.int64)
+
+
+def _empty_u8():
+    return np.empty(0, dtype=np.uint8)
+
+
 @dataclass
 class HaplotypeProgram:
-    """One haplotype's fused Task program.
+    """One haplotype's fused Task program in structure-of-arrays form.
 
-    ``tasks`` reference the shared proteome blob for exe==0 and the local
-    ``alt`` tape for exe==1. ``annotations`` lists ``(name, start, end)`` spans
-    of the result tape in transcript order (deterministic, unlike the
-    reference's HashMap iteration).
+    exe==0 tasks read the shared proteome blob, exe==1 tasks read the local
+    ``alt`` tape. ``annotations`` lists ``(name, start, end)`` spans of the
+    result tape in transcript order (deterministic, unlike the reference's
+    HashMap iteration). The SoA layout is the device ABI: these arrays cross
+    the host->HBM boundary as-is (the shape the reference exports for its
+    stubbed GPU engine; gir.rs:283-299).
     """
 
-    tasks: list = field(default_factory=list)
-    alt: str = ""
+    exe: np.ndarray = field(default_factory=_empty_u8)
+    src: np.ndarray = field(default_factory=_empty_i64)
+    length: np.ndarray = field(default_factory=_empty_i64)
+    dst: np.ndarray = field(default_factory=_empty_i64)
+    alt: bytes = b""
     res_len: int = 0
     annotations: list = field(default_factory=list)
+
+    @property
+    def n_tasks(self) -> int:
+        return len(self.exe)
 
 
 def _compile_transcript_cached(alt_transcript, ref_seqs, qc, cache):
@@ -106,7 +123,10 @@ def compile_haplotype(
     if qc is None:
         qc = default_qc()
     fused = HaplotypeProgram()
-    tasks = fused.tasks
+    exe_l: list = []
+    src_l: list = []
+    len_l: list = []
+    dst_l: list = []
     alt_chunks = []
     alt_counter = 0
     res_counter = 0
@@ -129,16 +149,20 @@ def compile_haplotype(
             continue
         ref_off = blob.spans[prog.name][0]
         for t in prog.tasks:
-            if t.exe == 0:
-                tasks.append(Task(0, t.src + ref_off, t.length, t.dst + res_counter))
-            else:
-                tasks.append(Task(1, t.src + alt_counter, t.length, t.dst + res_counter))
+            exe_l.append(t.exe)
+            src_l.append(t.src + (ref_off if t.exe == 0 else alt_counter))
+            len_l.append(t.length)
+            dst_l.append(t.dst + res_counter)
         fused.annotations.append(
             (prog.name, res_counter, res_counter + prog.res_len)
         )
         alt_chunks.append(prog.alt)
         alt_counter += len(prog.alt)
         res_counter += prog.res_len
-    fused.alt = "".join(alt_chunks)
+    fused.exe = np.array(exe_l, dtype=np.uint8)
+    fused.src = np.array(src_l, dtype=np.int64)
+    fused.length = np.array(len_l, dtype=np.int64)
+    fused.dst = np.array(dst_l, dtype=np.int64)
+    fused.alt = "".join(alt_chunks).encode("ascii")
     fused.res_len = res_counter
     return fused

@@ -16,8 +16,10 @@ import numpy as np
 from ..compiler.haplotype import HaplotypeProgram, RefBlob
 
 
-def _alt_bytes(alt: str) -> np.ndarray:
-    return np.frombuffer(alt.encode("ascii"), dtype=np.uint8)
+def _alt_bytes(alt) -> np.ndarray:
+    if isinstance(alt, str):
+        alt = alt.encode("ascii")
+    return np.frombuffer(alt, dtype=np.uint8)
 
 
 def execute_tasks(prog: HaplotypeProgram, blob: RefBlob) -> np.ndarray:
@@ -25,11 +27,11 @@ def execute_tasks(prog: HaplotypeProgram, blob: RefBlob) -> np.ndarray:
     res = np.full(prog.res_len, ord("."), dtype=np.uint8)
     alt = _alt_bytes(prog.alt)
     ref = blob.data
-    for t in prog.tasks:
-        if t.exe == 0:
-            res[t.dst:t.dst + t.length] = ref[t.src:t.src + t.length]
-        elif t.exe == 1:
-            res[t.dst:t.dst + t.length] = alt[t.src:t.src + t.length]
+    for exe, src, length, dst in zip(prog.exe, prog.src, prog.length, prog.dst):
+        if exe == 0:
+            res[dst:dst + length] = ref[src:src + length]
+        elif exe == 1:
+            res[dst:dst + length] = alt[src:src + length]
     return res
 
 
@@ -54,9 +56,8 @@ def execute_gather(prog: HaplotypeProgram, blob: RefBlob) -> np.ndarray:
     """Vectorized execution via one gather -- the TPU formulation on host."""
     if prog.res_len == 0:
         return np.empty(0, dtype=np.uint8)
-    exe = np.array([t.exe for t in prog.tasks], dtype=np.uint8)
-    src = np.array([t.src for t in prog.tasks], dtype=np.int64)
-    length = np.array([t.length for t in prog.tasks], dtype=np.int64)
     combined = np.concatenate([blob.data, _alt_bytes(prog.alt)])
-    idx = gather_indices(exe, src, length, prog.res_len, len(blob.data))
+    idx = gather_indices(
+        prog.exe, prog.src, prog.length, prog.res_len, len(blob.data)
+    )
     return combined[idx]

@@ -23,6 +23,12 @@ import numpy as np
 from ..compiler.haplotype import HaplotypeProgram, RefBlob
 
 
+def _as_u8(alt) -> np.ndarray:
+    if isinstance(alt, str):
+        alt = alt.encode("ascii")
+    return np.frombuffer(alt, dtype=np.uint8)
+
+
 @dataclass
 class PackedCohort:
     """One device-executable chunk."""
@@ -43,7 +49,7 @@ def pack_cohort(programs, blob: RefBlob) -> PackedCohort:
     re-validated here cheaply, and callers fall back to the serial host engine
     when it does not hold (malformed input with QC disabled).
     """
-    n_tasks = sum(len(p.tasks) for p in programs)
+    n_tasks = sum(p.n_tasks for p in programs)
     exe = np.empty(n_tasks, dtype=np.int64)
     src = np.empty(n_tasks, dtype=np.int64)
     length = np.empty(n_tasks, dtype=np.int64)
@@ -54,13 +60,13 @@ def pack_cohort(programs, blob: RefBlob) -> PackedCohort:
     res_counter = 0
     i = 0
     for p_idx, p in enumerate(programs):
-        for t in p.tasks:
-            exe[i] = t.exe
-            src[i] = t.src + (alt_counter if t.exe == 1 else 0)
-            length[i] = t.length
-            dst[i] = t.dst + res_counter
-            i += 1
-        alt_chunks.append(np.frombuffer(p.alt.encode("ascii"), dtype=np.uint8))
+        n = p.n_tasks
+        exe[i:i + n] = p.exe
+        src[i:i + n] = p.src + np.where(p.exe == 1, alt_counter, 0)
+        length[i:i + n] = p.length
+        dst[i:i + n] = p.dst + res_counter
+        i += n
+        alt_chunks.append(_as_u8(p.alt))
         spans.append((p_idx, res_counter, res_counter + p.res_len))
         alt_counter += len(p.alt)
         res_counter += p.res_len
