@@ -1,0 +1,1285 @@
+// vcf2prot_tpu native frontend + compiler.
+//
+// C++ implementation of the host-side hot path: VCF record scan, per-sample
+// bitmask decode, consequence parsing, the 22-opcode instruction compiler and
+// Task-program emission, fused per haplotype into the structure-of-arrays
+// device ABI. Semantics are ported 1:1 from the Python modules (which in turn
+// mirror the Rust reference; citations in vcf2prot_tpu/frontend/*.py and
+// vcf2prot_tpu/compiler/*.py) -- the Python path stays as the conformance
+// oracle and tests assert byte equality between the two.
+//
+// Exposed as a CPython extension (no pybind11): one entry point,
+// compile_cohort(...), returning per-haplotype SoA arrays as bytes objects.
+
+#define PY_SSIZE_T_CLEAN
+#include <Python.h>
+
+#include <algorithm>
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <fstream>
+#include <map>
+#include <memory>
+#include <mutex>
+#include <sstream>
+#include <stdexcept>
+#include <string>
+#include <string_view>
+#include <thread>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+using std::string;
+using std::string_view;
+using std::vector;
+
+// ---------------------------------------------------------------- errors ---
+
+struct FatalError : std::runtime_error {
+  using std::runtime_error::runtime_error;
+};
+struct SkipTranscript : std::runtime_error {
+  using std::runtime_error::runtime_error;
+};
+
+// ------------------------------------------------------------- constants ---
+
+enum MutType : int {
+  MISSENSE = 0, S_MISSENSE, FRAMESHIFT, S_FRAMESHIFT,
+  INFRAME_INSERTION, S_INFRAME_INSERTION, INFRAME_DELETION, S_INFRAME_DELETION,
+  STOP_GAINED, STOP_LOST,
+  S_MISSENSE_INFRAME, S_FRAMESHIFT_STOPRET, S_STOPGAIN_INFRAME,
+  FRAMESHIFT_STOPRET, INFRAME_DEL_STOPRET, INFRAME_INS_STOPRET,
+  STOPGAIN_INFRAME, START_LOST, S_STOP_GAINED, STOPLOST_FRAMESHIFT,
+  MISSENSE_INFRAME, START_LOST_SPLICE,
+  NUM_TYPES
+};
+
+const char* SUP_TYPE[NUM_TYPES] = {
+    "missense", "*missense", "frameshift", "*frameshift",
+    "inframe_insertion", "*inframe_insertion", "inframe_deletion",
+    "*inframe_deletion", "stop_gained", "stop_lost",
+    "*missense&inframe_altering", "*frameshift&stop_retained",
+    "*stop_gained&inframe_altering", "frameshift&stop_retained",
+    "inframe_deletion&stop_retained", "inframe_insertion&stop_retained",
+    "stop_gained&inframe_altering", "start_lost", "*stop_gained",
+    "stop_lost&frameshift", "missense&inframe_altering",
+    "start_lost&splice_region"};
+
+int lookup_type(string_view s) {
+  static const std::unordered_map<string_view, int> table = [] {
+    std::unordered_map<string_view, int> t;
+    for (int i = 0; i < NUM_TYPES; ++i) t.emplace(SUP_TYPE[i], i);
+    return t;
+  }();
+  auto it = table.find(s);
+  return it == table.end() ? -1 : it->second;
+}
+
+// --------------------------------------------------------- string helpers ---
+
+inline string_view field_before(string_view s, char sep) {
+  size_t p = s.find(sep);
+  return p == string_view::npos ? s : s.substr(0, p);
+}
+
+inline void split_into(string_view s, char sep, vector<string_view>* out) {
+  out->clear();
+  size_t start = 0;
+  while (true) {
+    size_t p = s.find(sep, start);
+    if (p == string_view::npos) {
+      out->push_back(s.substr(start));
+      return;
+    }
+    out->push_back(s.substr(start, p - start));
+    start = p + 1;
+  }
+}
+
+// ---------------------------------------------------------- bitmask decode ---
+// Mirrors text_parser.get_bit_mask + bitmask.decode_bitmask
+// (reference: text_parser.rs:163-251, MaskDecoder.rs:32-153).
+
+struct MaskIndices {
+  vector<int> hap1, hap2;
+  bool carrier = false;
+};
+
+bool parse_i64(string_view s, int64_t* out) {
+  if (s.empty()) return false;
+  size_t i = 0;
+  bool neg = false;
+  if (s[0] == '+' || s[0] == '-') {
+    neg = s[0] == '-';
+    i = 1;
+    if (s.size() == 1) return false;
+  }
+  int64_t v = 0;
+  for (; i < s.size(); ++i) {
+    if (s[i] < '0' || s[i] > '9') return false;
+    if (v > (INT64_MAX - 9) / 10) return false;  // overflow
+    v = v * 10 + (s[i] - '0');
+  }
+  *out = neg ? -v : v;
+  return true;
+}
+
+void decode_words(const vector<uint32_t>& words, MaskIndices* out) {
+  int field_base = 0;
+  for (uint32_t w : words) {
+    int index = 0;
+    while (w != 0) {
+      if (w & 1u) out->hap1.push_back(field_base + index);
+      if ((w >> 1) & 1u) out->hap2.push_back(field_base + index);
+      w >>= 2;
+      ++index;
+    }
+    field_base += 15;  // 15 two-bit entries per word (MaskDecoder.rs:150)
+  }
+  out->carrier = !out->hap1.empty() || !out->hap2.empty();
+}
+
+// Decode a sample column; returns carrier indices or not-a-carrier.
+void decode_sample_field(string_view col, MaskIndices* out) {
+  out->hap1.clear();
+  out->hap2.clear();
+  out->carrier = false;
+  size_t colon = col.rfind(':');
+  if (colon == string_view::npos) return;
+  string_view mask = col.substr(colon + 1);
+  if (mask == ".") return;
+  if (mask.find(',') == string_view::npos) {
+    int64_t v;
+    if (!parse_i64(mask, &v)) return;
+    if (v < INT32_MIN || v > INT32_MAX) return;  // i32 parse in the reference
+    if (v < 0)
+      throw FatalError("An invalid bit mask was encountered: " + string(mask));
+    if (v == 0) return;  // "0$" decodes as reference
+    decode_words({static_cast<uint32_t>(v)}, out);
+    return;
+  }
+  // CSV: strip trailing ",0" words
+  vector<string_view> parts;
+  split_into(mask, ',', &parts);
+  while (!parts.empty() && parts.back() == "0") parts.pop_back();
+  if (parts.empty()) return;
+  if (mask.find('-') != string_view::npos)
+    throw FatalError("An invalid bit mask was encountered: " + string(mask));
+  if (parts.size() == 1) {
+    int64_t v;
+    if (!parse_i64(parts[0], &v)) return;
+    if (v < INT32_MIN || v > INT32_MAX) return;
+    if (v < 0)
+      throw FatalError("An invalid bit mask was encountered: " + string(mask));
+    if (v == 0) return;
+    decode_words({static_cast<uint32_t>(v)}, out);
+    return;
+  }
+  vector<uint32_t> words;
+  words.reserve(parts.size());
+  for (auto p : parts) {
+    int64_t v;
+    // u32 parse: failure aborts (the reference unwraps; MaskDecoder.rs:47)
+    if (!parse_i64(p, &v) || v < 0 || v > int64_t(UINT32_MAX))
+      throw FatalError("unparseable bitmask word: " + string(p));
+    words.push_back(static_cast<uint32_t>(v));
+  }
+  decode_words(words, out);
+}
+
+// -------------------------------------------------------- mutation model ---
+
+enum MsKind : int { SEQ = 0, END = 1, NOT = 2 };
+
+struct MutatedString {
+  int kind = NOT;
+  string seq;
+
+  // residues minus any trailing '*'
+  string_view payload() const {
+    if (kind == SEQ) return seq;
+    if (kind == END) return string_view(seq).substr(0, seq.size() - 1);
+    throw SkipTranscript("NOT-sequence has no payload");
+  }
+  bool operator==(const MutatedString& o) const {
+    return kind == o.kind && seq == o.seq;
+  }
+};
+
+MutatedString mutated_string(string_view s) {
+  if (s.empty()) throw SkipTranscript("empty mutated-string field");
+  MutatedString m;
+  if (s == "*") {
+    m.kind = NOT;
+    return m;
+  }
+  m.seq = string(s);
+  m.kind = s.find('*') != string_view::npos ? END : SEQ;
+  return m;
+}
+
+struct Mutation {
+  int type;
+  string transcript;
+  int64_t ref_pos, mut_pos;  // 0-based (u16-wrapped like the reference)
+  MutatedString ref_aa, mut_aa;
+};
+
+// "35KTEST" -> (35, "KTEST"); digits anywhere; '-' rejected; u16 positions
+// (text_parser.rs:127-149, mutation_ds.rs:109-138)
+bool parse_aa_side(string_view s, int64_t* pos, string* seq) {
+  if (s.find('-') != string_view::npos) return false;
+  int64_t p = 0;
+  bool have_digit = false;
+  seq->clear();
+  for (char c : s) {
+    if (c >= '0' && c <= '9') {
+      have_digit = true;
+      p = p * 10 + (c - '0');
+      if (p > 0xFFFF) return false;  // u16 overflow fails the parse
+    } else {
+      seq->push_back(c);
+    }
+  }
+  if (!have_digit) return false;
+  if (seq->empty()) *seq = "*";
+  *pos = p;
+  return true;
+}
+
+// returns false if the mutation should be silently dropped
+bool parse_mutation(string_view csq, Mutation* m) {
+  // split_csq_string: 6 pipes + protein_coding/NMD, or short-form start_lost
+  vector<string_view> f;
+  split_into(csq, '|', &f);
+  string_view type_s, transcript_s, aa_s;
+  string synth_aa;
+  if (f.size() == 7) {
+    if (f[3] != "protein_coding" && f[3] != "NMD") return false;
+    type_s = f[0];
+    transcript_s = f[2];
+    aa_s = f[5];
+  } else if (!f.empty() && f[0] == "start_lost" && f.size() >= 3) {
+    type_s = f[0];
+    transcript_s = f[2];
+    synth_aa = "1M>1*";
+    aa_s = synth_aa;
+  } else {
+    return false;
+  }
+  int t = lookup_type(type_s);
+  if (t < 0) return false;
+  size_t gt = aa_s.find('>');
+  if (gt == string_view::npos ||
+      aa_s.find('>', gt + 1) != string_view::npos)
+    return false;
+  int64_t rp, mp;
+  string rs, ms;
+  if (!parse_aa_side(aa_s.substr(0, gt), &rp, &rs)) return false;
+  if (!parse_aa_side(aa_s.substr(gt + 1), &mp, &ms)) return false;
+  m->type = t;
+  m->transcript = string(transcript_s);
+  m->ref_pos = (rp - 1) & 0xFFFF;  // u16 wrap (mutation_ds.rs:137)
+  m->mut_pos = (mp - 1) & 0xFFFF;
+  try {
+    m->ref_aa = mutated_string(rs);
+    m->mut_aa = mutated_string(ms);
+  } catch (const SkipTranscript&) {
+    return false;
+  }
+  return true;
+}
+
+// ------------------------------------------------------- instruction ISA ---
+// Port of vcf2prot_tpu/compiler/instruction.py (itself mirroring
+// instruction.rs:64-1098).
+
+struct Instruction {
+  char code = 'E';
+  bool s_state = false;
+  int64_t pos_ref = 0, pos_res = 0, length = 0;
+  string data;
+  bool is_phi() const { return code == 'E'; }
+};
+
+const Instruction PHI{};
+
+bool validate_s_state(const Mutation& m, const vector<Mutation>& muts) {
+  size_t index = 0;
+  for (; index < muts.size(); ++index)
+    if (muts[index].mut_pos == m.mut_pos) break;
+  for (size_t i = 0; i < index; ++i) {
+    const Mutation& p = muts[i];
+    if (p.type == STOP_GAINED || p.type == FRAMESHIFT || p.type == S_STOP_GAINED)
+      return false;
+    if ((p.type == INFRAME_INSERTION || p.type == INFRAME_DELETION) &&
+        (p.mut_aa.kind == NOT || p.mut_aa.kind == END))
+      return false;
+  }
+  return true;
+}
+
+Instruction i_stop_gained(const Mutation& m) {
+  return Instruction{'G', false, m.ref_pos, m.mut_pos, 0, ""};
+}
+
+Instruction i_missense(const Mutation& m) {
+  if (m.mut_aa.kind == NOT) throw SkipTranscript("cannot interpret missense");
+  string data(m.mut_aa.payload());
+  return Instruction{'M', false, m.ref_pos, m.mut_pos, 1, std::move(data)};
+}
+
+Instruction i_frameshift(const Mutation& m) {
+  if (m.mut_aa.kind == NOT) return PHI;
+  string data(m.mut_aa.payload());
+  int64_t n = (int64_t)data.size();
+  return Instruction{'F', false, m.ref_pos, m.mut_pos, n, std::move(data)};
+}
+
+Instruction i_stop_lost(const Mutation& m) {
+  if (m.mut_aa.kind == NOT) throw SkipTranscript("cannot interpret stop_lost");
+  string data(m.mut_aa.payload());
+  int64_t n = (int64_t)data.size();
+  return Instruction{'L', false, m.ref_pos, m.mut_pos, n, std::move(data)};
+}
+
+// '2'/'3' replace: pos_ref/pos_res swapped (instruction.rs:270-273)
+Instruction i_replace_2_or_3(const Mutation& m) {
+  string data(m.mut_aa.payload());
+  string ref_seq(m.ref_aa.payload());
+  int64_t pos_ref = m.mut_pos, pos_res = m.ref_pos;
+  if (data.size() != ref_seq.size())
+    return Instruction{'3', false, pos_ref, pos_res,
+                       (int64_t)ref_seq.size(), std::move(data)};
+  int64_t n = (int64_t)data.size();
+  return Instruction{'2', false, pos_ref, pos_res, n, std::move(data)};
+}
+
+Instruction i_inframe_insertion(const Mutation& m) {
+  if (m.ref_aa.kind == SEQ) {
+    if (m.ref_aa.seq.size() != 1) {
+      if (m.mut_aa.kind == NOT) return i_stop_gained(m);
+      return i_replace_2_or_3(m);
+    }
+  } else if (m.ref_aa.kind == END) {
+    return i_frameshift(m);
+  } else {
+    throw SkipTranscript("inframe insertion with lone-'*' reference side");
+  }
+  if (m.mut_aa.kind == SEQ) {
+    string data = m.mut_aa.seq;
+    int64_t n = (int64_t)data.size();
+    return Instruction{'I', false, m.ref_pos, m.mut_pos, n, std::move(data)};
+  }
+  if (m.mut_aa.kind == END) return i_frameshift(m);
+  return i_stop_gained(m);
+}
+
+Instruction i_inframe_deletion(const Mutation& m) {
+  int64_t del_span;
+  if (m.ref_aa.kind == SEQ)
+    del_span = (int64_t)m.ref_aa.seq.size();
+  else if (m.ref_aa.kind == END)
+    del_span = (int64_t)m.ref_aa.seq.size() - 1;
+  else
+    return i_stop_gained(m);
+  string data;
+  if (m.mut_aa.kind == SEQ) {
+    if (m.mut_aa.seq.size() == 1)
+      data = m.mut_aa.seq;
+    else
+      return i_replace_2_or_3(m);
+  } else if (m.mut_aa.kind == END) {
+    data = string(m.mut_aa.payload());
+    if (data.size() != 1) return i_frameshift(m);
+  } else {
+    return i_stop_gained(m);
+  }
+  int64_t n = del_span - (int64_t)data.size();
+  return Instruction{'D', false, m.ref_pos, m.mut_pos, n, std::move(data)};
+}
+
+Instruction relabel(Instruction ins, char code) {
+  if (!ins.is_phi()) ins.code = code;
+  return ins;
+}
+
+Instruction i_s_frameshift(const Mutation& m, const vector<Mutation>& muts) {
+  if (!validate_s_state(m, muts)) return PHI;
+  if (m.mut_aa.kind == NOT) return i_stop_gained(m);
+  Instruction b = i_frameshift(m);
+  if (b.is_phi()) return b;
+  b.code = 'R';
+  b.s_state = true;
+  return b;
+}
+
+Instruction i_s_stop_gained(const Mutation& m, const vector<Mutation>& muts) {
+  if (!validate_s_state(m, muts)) return PHI;
+  Instruction b = i_stop_gained(m);
+  b.code = 'X';
+  b.s_state = true;
+  return b;
+}
+
+Instruction from_mutation(const Mutation& m, const vector<Mutation>& muts) {
+  switch (m.type) {
+    case MISSENSE:
+      return i_missense(m);
+    case S_MISSENSE: {
+      if (!validate_s_state(m, muts)) return PHI;
+      Instruction b = i_missense(m);
+      b.code = 'N';
+      b.s_state = true;
+      return b;
+    }
+    case FRAMESHIFT:
+      return i_frameshift(m);
+    case S_FRAMESHIFT:
+      return i_s_frameshift(m, muts);
+    case INFRAME_INSERTION:
+      return i_inframe_insertion(m);
+    case S_INFRAME_INSERTION: {
+      if (!validate_s_state(m, muts)) return PHI;
+      Instruction b = i_inframe_insertion(m);
+      if (b.code == 'I') {
+        b.code = 'J';
+        b.s_state = true;
+      }
+      return b;
+    }
+    case INFRAME_DELETION:
+      return i_inframe_deletion(m);
+    case S_INFRAME_DELETION: {
+      if (!validate_s_state(m, muts)) return PHI;
+      // unconditional relabel (instruction.rs:499-501)
+      Instruction b = i_inframe_deletion(m);
+      b.code = 'C';
+      b.s_state = true;
+      return b;
+    }
+    case START_LOST:
+      return Instruction{'0', false, 0, 0, 0, ""};
+    case STOP_LOST:
+      return i_stop_lost(m);
+    case STOP_GAINED:
+      return i_stop_gained(m);
+    case S_STOP_GAINED:
+      return i_s_stop_gained(m, muts);
+    case S_MISSENSE_INFRAME:
+      return relabel(i_s_frameshift(m, muts), 'K');
+    case S_FRAMESHIFT_STOPRET: {
+      if (m.mut_aa.kind == NOT) {
+        if (!validate_s_state(m, muts)) return PHI;
+        return Instruction{'Q', true, m.ref_pos, m.mut_pos, 0, ""};
+      }
+      return i_s_frameshift(m, muts);
+    }
+    case S_STOPGAIN_INFRAME:
+      return relabel(i_s_stop_gained(m, muts), 'A');
+    case FRAMESHIFT_STOPRET:
+      return relabel(i_frameshift(m), 'B');
+    case INFRAME_DEL_STOPRET: {
+      Instruction b = i_stop_gained(m);
+      b.code = 'P';
+      if (m.ref_aa.kind == END)
+        b.length = (int64_t)m.ref_aa.seq.size() - 1;
+      return b;
+    }
+    case INFRAME_INS_STOPRET:
+      return PHI;  // always phi (instruction.rs:908-921)
+    case STOPGAIN_INFRAME:
+      return relabel(i_stop_gained(m), 'T');
+    case STOPLOST_FRAMESHIFT:
+      return m.ref_aa.kind == NOT ? i_stop_lost(m) : i_frameshift(m);
+    case MISSENSE_INFRAME:
+      if (m.mut_aa.kind == NOT) return i_frameshift(m);  // -> phi
+      return i_replace_2_or_3(m);
+    case START_LOST_SPLICE:
+      return relabel(Instruction{'0', false, 0, 0, 0, ""}, 'U');
+    default:
+      throw FatalError("unsupported mutation type");
+  }
+}
+
+// ---------------------------------------------------- transcript compiler ---
+// Port of vcf2prot_tpu/compiler/transcript.py (mirroring
+// transcript_instructions.rs:41-781).
+
+struct Task {
+  uint8_t exe;
+  int64_t src, len, dst;
+};
+const Task NULL_TASK{2, 0, 0, 0};
+
+struct TranscriptProgram {
+  vector<Task> tasks;
+  string alt;
+  int64_t res_len = 0;
+  bool erased = false;
+};
+
+inline bool in_set(char c, const char* set) {
+  return std::strchr(set, c) != nullptr;
+}
+
+// opcode sets (transcript_instructions.rs:486,496; suppression :223-297)
+const char* TERMINAL_ONLY = "KQABPZTWGFRL";
+const char* NO_TAIL_COPY = "KYQABPZTWGFRLX";
+const char* SUPPRESSIBLE = "RJCKQA";
+
+struct QcFlags {
+  bool inspect_ins_gen = true;
+  bool inspect_txp = true;
+  bool panic_on_err = true;
+};
+
+void inspect_instruction_generation(const vector<Instruction>& ins,
+                                    const QcFlags& qc) {
+  auto fail = [&](const char* msg) {
+    if (qc.panic_on_err) throw FatalError(msg);
+    throw SkipTranscript(msg);
+  };
+  {
+    vector<int64_t> starts;
+    starts.reserve(ins.size());
+    for (auto& i : ins) starts.push_back(i.pos_ref);
+    std::sort(starts.begin(), starts.end());
+    if (std::adjacent_find(starts.begin(), starts.end()) != starts.end())
+      fail("multiple mutations at the same position");
+  }
+  if (ins.size() > 1) {
+    for (auto& i : ins)
+      if (i.code == '0') return;
+    for (size_t k = 0; k + 1 < ins.size(); ++k) {
+      const Instruction& a = ins[k];
+      const Instruction& b = ins[k + 1];
+      // u64 wrap-around intentionally mirrors the release binary
+      uint64_t bound = (uint64_t)a.pos_res + (uint64_t)a.data.size() - 1;
+      if ((uint64_t)b.pos_res <= bound) fail("mutations overlap");
+      if (a.code == 'C' || a.code == 'D') {
+        uint64_t dbound = (uint64_t)a.pos_res + (uint64_t)a.length - 1;
+        if ((uint64_t)b.pos_ref <= dbound) fail("deletion-range overlap");
+      }
+    }
+  }
+}
+
+int64_t expected_results_size(const vector<Instruction>& ins, int64_t ref_len) {
+  int64_t delta = 0;
+  for (size_t idx = 0; idx < ins.size(); ++idx) {
+    const Instruction& i = ins[idx];
+    char c = i.code;
+    if (c == 'U' || c == '0') {
+      delta -= ref_len;
+      break;
+    }
+    if (in_set(c, SUPPRESSIBLE)) {
+      bool suppressed = false;
+      for (size_t p = 0; p < idx; ++p)
+        if (ins[p].code == 'G' || ins[p].code == 'F') {
+          suppressed = true;
+          break;
+        }
+      if (suppressed) continue;
+    }
+    int64_t dl = (int64_t)i.data.size();
+    switch (c) {
+      case 'F': case 'R': case 'K': case 'Q':
+        delta += dl - (ref_len - i.pos_ref);
+        break;
+      case 'G': case 'X': case 'A': case 'T':
+        delta -= ref_len - i.pos_ref;
+        break;
+      case 'M': case 'N': case '2': case 'Z':
+        break;
+      case 'L':
+        if (i.pos_ref + 1 == ref_len || i.pos_ref == ref_len)
+          delta += dl;
+        else
+          delta += dl - (ref_len - i.pos_ref);
+        break;
+      case 'I': case 'J':
+        delta += dl - 1;
+        break;
+      case 'D': case 'C': case 'P':
+        delta -= i.length;
+        break;
+      case 'B':
+        delta -= ref_len - i.pos_ref - i.length;
+        break;
+      case 'W':
+        delta += dl;
+        break;
+      case 'Y':
+        delta += dl - (ref_len - i.pos_ref) + 1;
+        break;
+      case '3':
+        delta += dl - i.length;
+        break;
+      default:
+        throw SkipTranscript("instruction is not supported");
+    }
+  }
+  return ref_len + delta;
+}
+
+Task build_base_task(const Instruction& first, int64_t ref_len) {
+  if (first.code == 'Z' || first.code == 'Y')
+    return Task{0, 0, first.pos_ref + 1, 0};
+  if (first.code == 'L') {
+    if (first.pos_ref + 1 == ref_len) return Task{0, 0, first.pos_ref + 1, 0};
+    if (first.pos_ref == ref_len) return Task{0, 0, first.pos_ref, 0};
+    return Task{0, 0, first.pos_res, 0};
+  }
+  return Task{0, 0, first.pos_ref, 0};
+}
+
+inline int64_t next_dst(const vector<Task>& tasks) {
+  const Task& last = tasks.back();
+  return last.dst + last.len;
+}
+
+Task task_missense(const Instruction& i, string* alt, const vector<Task>& tasks) {
+  int64_t dst = next_dst(tasks);
+  // doubled payload append, pointer at the second copy
+  // (transcript_instructions.rs:659-661)
+  alt->append(i.data);
+  alt->append(i.data);
+  int64_t pos_alt = (int64_t)alt->size() - (int64_t)i.data.size();
+  return Task{1, pos_alt, 1, dst};
+}
+
+Task task_frameshift(const Instruction& i, string* alt, const vector<Task>& tasks) {
+  int64_t dst = next_dst(tasks);
+  alt->append(i.data);
+  int64_t pos_alt = (int64_t)alt->size() - (int64_t)i.data.size();
+  return Task{1, pos_alt, i.length, dst};
+}
+
+Task task_stop_lost(const Instruction& i, string* alt, const vector<Task>& tasks) {
+  int64_t dst = next_dst(tasks);
+  alt->append(i.data);
+  int64_t pos_alt = (int64_t)alt->size() - (int64_t)i.data.size();
+  return Task{1, pos_alt, (int64_t)i.data.size(), dst};
+}
+
+Task task_append_before(const Instruction& i, string* alt,
+                        const vector<Task>& tasks, bool use_length) {
+  int64_t pos_alt = (int64_t)alt->size();
+  int64_t dst = next_dst(tasks);
+  alt->append(i.data);
+  return Task{1, pos_alt, use_length ? i.length : (int64_t)i.data.size(), dst};
+}
+
+Task add_last_task(int64_t ref_len, const Instruction& i, int64_t dst) {
+  if (i.code == 'D' || i.code == 'C')
+    return Task{0, i.pos_ref + i.length + 1,
+                ref_len - i.pos_ref - i.length - 1, dst};
+  if (i.code == '2' || i.code == '3')
+    return Task{0, i.pos_ref + i.length, ref_len - i.pos_ref - i.length, dst};
+  return Task{0, i.pos_ref + 1, ref_len - i.pos_ref - 1, dst};
+}
+
+Task add_till_next(const Instruction& i, size_t idx,
+                   const vector<Instruction>& ins, const Task& last_task,
+                   int64_t ref_len) {
+  const Instruction& nxt = ins[idx + 1];
+  int64_t dst = last_task.dst + last_task.len;
+  if (i.code == 'D' || i.code == 'C') {
+    if (nxt.pos_ref == i.pos_ref) return NULL_TASK;
+    if (i.pos_ref + i.length == nxt.pos_ref) return NULL_TASK;
+    int64_t start = i.pos_ref + i.length + 1;
+    if (nxt.code == 'L' && nxt.pos_ref + 1 == ref_len && start == nxt.pos_ref)
+      return Task{0, start, 1, dst};
+    int64_t span = nxt.pos_ref - start;
+    if (span < 0) throw SkipTranscript("negative gap span after deletion");
+    return Task{0, start, span, dst};
+  }
+  if (i.code == '2' || i.code == '3') {
+    if (nxt.pos_ref == i.pos_ref) return NULL_TASK;
+    if (i.pos_ref + i.length == nxt.pos_ref) return NULL_TASK;
+    int64_t start = i.pos_ref + i.length;
+    return Task{0, start, nxt.pos_ref - start, dst};
+  }
+  if (nxt.pos_ref == i.pos_ref) return NULL_TASK;
+  if (nxt.code == 'L') {
+    if (nxt.pos_ref + 1 == ref_len)
+      return Task{0, i.pos_ref + 1, nxt.pos_ref - i.pos_ref, dst};
+    return Task{0, i.pos_ref + 1, nxt.pos_ref - 1 - i.pos_ref, dst};
+  }
+  int64_t span = nxt.pos_ref - 1 - i.pos_ref;
+  if (span < 0) throw SkipTranscript("negative gap span");
+  return Task{0, i.pos_ref + 1, span, dst};
+}
+
+TranscriptProgram compile_transcript(vector<Mutation>& muts, int64_t ref_len,
+                                     const QcFlags& qc) {
+  // sort by mutated position (stable, like the reference sort)
+  std::stable_sort(muts.begin(), muts.end(),
+                   [](const Mutation& a, const Mutation& b) {
+                     return a.mut_pos < b.mut_pos;
+                   });
+  vector<Instruction> ins;
+  ins.reserve(muts.size());
+  for (const Mutation& m : muts) {
+    Instruction i = from_mutation(m, muts);
+    if (!i.is_phi()) ins.push_back(std::move(i));
+  }
+  if (ins.empty())
+    throw SkipTranscript("no supported mutations in transcript");
+  if (qc.inspect_ins_gen) inspect_instruction_generation(ins, qc);
+
+  TranscriptProgram prog;
+  bool erased = false;
+  for (auto& i : ins)
+    if (i.code == '0' || i.code == 'U') erased = true;
+  if (erased) {
+    prog.erased = true;
+    return prog;
+  }
+  prog.res_len = expected_results_size(ins, ref_len);
+  prog.tasks.push_back(build_base_task(ins[0], ref_len));
+  for (size_t idx = 0; idx < ins.size(); ++idx) {
+    const Instruction& i = ins[idx];
+    char c = i.code;
+    Task ins_task;
+    if (c == 'M' || c == 'N')
+      ins_task = task_missense(i, &prog.alt, prog.tasks);
+    else if (c == 'F' || c == 'R' || c == 'K' || c == 'B' || c == 'Y')
+      ins_task = task_frameshift(i, &prog.alt, prog.tasks);
+    else if (c == 'G' || c == 'X' || c == 'A' || c == 'T')
+      ins_task = NULL_TASK;
+    else if (c == 'L' || c == 'W')
+      ins_task = task_stop_lost(i, &prog.alt, prog.tasks);
+    else if (c == 'I' || c == 'J')
+      ins_task = task_append_before(i, &prog.alt, prog.tasks, true);
+    else if (c == 'D' || c == 'C')
+      ins_task = task_append_before(i, &prog.alt, prog.tasks, false);
+    else if (c == 'Q' || c == 'Z' || c == 'P')
+      ins_task = NULL_TASK;
+    else if (c == '2')
+      ins_task = task_append_before(i, &prog.alt, prog.tasks, true);
+    else if (c == '3')
+      ins_task = task_append_before(i, &prog.alt, prog.tasks, false);
+    else
+      throw SkipTranscript("instruction is not supported");
+
+    Task gap;
+    bool last = idx + 1 == ins.size();
+    if (last) {
+      if (in_set(c, NO_TAIL_COPY))
+        gap = NULL_TASK;
+      else
+        gap = add_last_task(ref_len, i, ins_task.dst + ins_task.len);
+    } else {
+      if (in_set(c, TERMINAL_ONLY))
+        throw SkipTranscript("instruction must be the last in a transcript");
+      gap = add_till_next(i, idx, ins, ins_task, ref_len);
+    }
+    if (ins_task.exe != 2) prog.tasks.push_back(ins_task);
+    if (gap.exe != 2) prog.tasks.push_back(gap);
+  }
+  if (qc.inspect_txp) {
+    int64_t counter = prog.tasks.empty() ? 0 : prog.tasks[0].len;
+    for (size_t k = 1; k < prog.tasks.size(); ++k) {
+      if (prog.tasks[k].dst != prog.tasks[k - 1].dst + prog.tasks[k - 1].len)
+        throw FatalError("non-contiguous result tape in transcript program");
+      counter += prog.tasks[k].len;
+    }
+    if (counter != prog.res_len)
+      throw FatalError("transcript program size mismatch");
+  }
+  // filler / clamp (mirrors transcript.py get_g_rep tail handling)
+  int64_t coverage =
+      prog.tasks.empty() ? 0 : prog.tasks.back().dst + prog.tasks.back().len;
+  if (coverage < prog.res_len) {
+    int64_t gap = prog.res_len - coverage;
+    int64_t pos_alt = (int64_t)prog.alt.size();
+    prog.alt.append((size_t)gap, '.');
+    prog.tasks.push_back(Task{1, pos_alt, gap, coverage});
+  } else if (coverage > prog.res_len) {
+    while (!prog.tasks.empty() && prog.tasks.back().dst >= prog.res_len)
+      prog.tasks.pop_back();
+    if (!prog.tasks.empty()) {
+      Task& lastt = prog.tasks.back();
+      int64_t overhang = lastt.dst + lastt.len - prog.res_len;
+      if (overhang > 0) lastt.len -= overhang;
+    }
+  }
+  return prog;
+}
+
+// ------------------------------------------------- grouping + drop_replicate
+
+// Group one haplotype's csq entries by transcript; returns transcript-name ->
+// mutation list in sorted-name order, mirroring maps.group_muts_per_transcript
+// (incl. the substring capture when transcript-id lengths differ).
+struct TranscriptGroup {
+  string name;
+  vector<Mutation> muts;
+  string key;  // concatenated source csq strings (compile-memo key)
+};
+
+void drop_replicate(TranscriptGroup* g) {
+  auto& alts = g->muts;
+  std::stable_sort(alts.begin(), alts.end(),
+                   [](const Mutation& a, const Mutation& b) {
+                     return a.mut_pos < b.mut_pos;
+                   });
+  std::vector<int64_t> refs;
+  refs.reserve(alts.size());
+  for (auto& m : alts) refs.push_back(m.ref_pos);
+  std::sort(refs.begin(), refs.end());
+  size_t unique_n =
+      std::unique(refs.begin(), refs.end()) - refs.begin();
+  if (unique_n < alts.size()) {
+    vector<Mutation> dedup;
+    for (auto& m : alts) {
+      if (!dedup.empty()) {
+        const Mutation& p = dedup.back();
+        if (p.type == m.type && p.ref_pos == m.ref_pos &&
+            p.mut_pos == m.mut_pos && p.ref_aa == m.ref_aa &&
+            p.mut_aa == m.mut_aa)
+          continue;
+      }
+      dedup.push_back(m);
+    }
+    alts.swap(dedup);
+    if (unique_n != alts.size())
+      throw FatalError("Conflicting mutations in transcript " + g->name);
+  }
+}
+
+vector<TranscriptGroup> group_by_transcript(const vector<string_view>& csqs) {
+  std::map<string, vector<size_t>> by_name;  // ordered -> sorted output
+  vector<Mutation> parsed(csqs.size());
+  vector<bool> ok(csqs.size(), false);
+  std::unordered_map<size_t, bool> length_set;
+  bool multi_len = false;
+  size_t first_len = SIZE_MAX;
+  for (size_t i = 0; i < csqs.size(); ++i) {
+    if (parse_mutation(csqs[i], &parsed[i])) {
+      ok[i] = true;
+      auto& v = by_name[parsed[i].transcript];
+      v.push_back(i);
+      size_t L = parsed[i].transcript.size();
+      if (first_len == SIZE_MAX)
+        first_len = L;
+      else if (L != first_len)
+        multi_len = true;
+    }
+  }
+  vector<TranscriptGroup> out;
+  out.reserve(by_name.size());
+  for (auto& [name, idxs] : by_name) {
+    TranscriptGroup g;
+    g.name = name;
+    bool substr_capture = false;
+    if (multi_len) {
+      for (auto& [other, _] : by_name) {
+        if (other != name && other.find(name) != string::npos) {
+          substr_capture = true;
+          break;
+        }
+      }
+    }
+    if (substr_capture) {
+      for (size_t i = 0; i < csqs.size(); ++i) {
+        if (csqs[i].find(name) != string_view::npos) {
+          g.key.append(csqs[i]);
+          g.key.push_back('\x01');
+          if (ok[i]) g.muts.push_back(parsed[i]);
+          else {
+            Mutation m;
+            if (parse_mutation(csqs[i], &m)) g.muts.push_back(std::move(m));
+          }
+        }
+      }
+    } else {
+      for (size_t i : idxs) {
+        g.key.append(csqs[i]);
+        g.key.push_back('\x01');
+        g.muts.push_back(parsed[i]);
+      }
+    }
+    drop_replicate(&g);
+    out.push_back(std::move(g));
+  }
+  return out;
+}
+
+// -------------------------------------------------------- haplotype fusion ---
+
+struct RefTable {
+  // name -> (blob offset, length, name index)
+  std::unordered_map<string_view, std::tuple<int64_t, int64_t, int64_t>> spans;
+};
+
+struct HaplotypeOut {
+  vector<uint8_t> exe;
+  vector<int64_t> src, len, dst;
+  string alt;
+  int64_t res_len = 0;
+  vector<std::tuple<int64_t, int64_t, int64_t>> ann;  // (name_idx, start, end)
+};
+
+struct CompileMemo {
+  std::mutex mu;
+  std::unordered_map<string, std::shared_ptr<TranscriptProgram>> map;
+};
+
+void compile_haplotype(const vector<string_view>& csqs, const RefTable& table,
+                       const QcFlags& qc, CompileMemo* memo, HaplotypeOut* out,
+                       vector<string>* warnings) {
+  vector<TranscriptGroup> groups = group_by_transcript(csqs);
+  int64_t alt_counter = 0, res_counter = 0;
+  for (auto& g : groups) {
+    auto it = table.spans.find(g.name);
+    std::shared_ptr<TranscriptProgram> prog;
+    if (it == table.spans.end()) {
+      warnings->push_back("transcript " + g.name +
+                          " is not in the reference sequence; skipped");
+      continue;
+    }
+    auto [ref_off, ref_len, name_idx] = it->second;
+    string memo_key = g.name + "\x02" + g.key;
+    bool cached = false;
+    if (memo) {
+      std::lock_guard<std::mutex> lock(memo->mu);
+      auto mit = memo->map.find(memo_key);
+      if (mit != memo->map.end()) {
+        prog = mit->second;
+        cached = true;
+      }
+    }
+    if (!cached) {
+      try {
+        prog = std::make_shared<TranscriptProgram>(
+            compile_transcript(g.muts, ref_len, qc));
+      } catch (const SkipTranscript& e) {
+        warnings->push_back("transcript " + g.name + ": " + e.what() +
+                            "; skipped");
+        prog = nullptr;
+      }
+      if (memo) {
+        std::lock_guard<std::mutex> lock(memo->mu);
+        memo->map.emplace(std::move(memo_key), prog);
+      }
+    }
+    if (!prog) {
+      // cached failure
+      continue;
+    }
+    for (const Task& t : prog->tasks) {
+      out->exe.push_back(t.exe);
+      out->src.push_back(t.src + (t.exe == 0 ? ref_off : alt_counter));
+      out->len.push_back(t.len);
+      out->dst.push_back(t.dst + res_counter);
+    }
+    out->ann.emplace_back(name_idx, res_counter, res_counter + prog->res_len);
+    out->alt.append(prog->alt);
+    alt_counter += (int64_t)prog->alt.size();
+    res_counter += prog->res_len;
+  }
+  out->res_len = res_counter;
+}
+
+// --------------------------------------------------------- cohort driver ---
+
+struct CohortResult {
+  vector<string> probands;
+  vector<HaplotypeOut> haps;  // 2 per proband: hap1, hap2
+  vector<string> warnings;
+};
+
+bool record_is_supported(const vector<string_view>& fields) {
+  if (fields.size() < 8) return false;
+  string_view info = fields[7];
+  // find "BCSQ=" sub-field
+  size_t pos = 0;
+  string_view bcsq;
+  bool found = false;
+  while (pos <= info.size()) {
+    size_t semi = info.find(';', pos);
+    string_view sub = info.substr(
+        pos, semi == string_view::npos ? string_view::npos : semi - pos);
+    if (sub.substr(0, 5) == "BCSQ=") {
+      // reference takes split('=')[1]: text up to the next '=' if any
+      string_view rest = sub.substr(5);
+      size_t eq = rest.find('=');
+      bcsq = eq == string_view::npos ? rest : rest.substr(0, eq);
+      found = true;
+      break;
+    }
+    if (semi == string_view::npos) break;
+    pos = semi + 1;
+  }
+  if (!found) return false;
+  size_t start = 0;
+  while (start <= bcsq.size()) {
+    size_t comma = bcsq.find(',', start);
+    string_view entry = bcsq.substr(
+        start, comma == string_view::npos ? string_view::npos : comma - start);
+    // is_supported_csq: exactly 6 pipes + known type
+    int pipes = (int)std::count(entry.begin(), entry.end(), '|');
+    if (pipes == 6 && lookup_type(field_before(entry, '|')) >= 0) return true;
+    if (comma == string_view::npos) break;
+    start = comma + 1;
+  }
+  return false;
+}
+
+string_view bcsq_payload(string_view info) {
+  // INFO -> everything after the first "BCSQ=" (vcf_ds.rs:67-86)
+  size_t p = info.find("BCSQ=");
+  return info.substr(p + 5);
+}
+
+CohortResult compile_cohort_impl(const string& vcf_text,
+                                 const vector<string>& ref_names,
+                                 const vector<int64_t>& ref_offsets,
+                                 const QcFlags& qc, int n_threads) {
+  CohortResult result;
+  RefTable table;
+  for (size_t i = 0; i < ref_names.size(); ++i)
+    table.spans.emplace(
+        ref_names[i],
+        std::make_tuple(ref_offsets[i], ref_offsets[i + 1] - ref_offsets[i],
+                        (int64_t)i));
+
+  // --- line scan: header + supported records
+  vector<string_view> records;
+  size_t n_samples = 0;
+  {
+    string_view text(vcf_text);
+    size_t pos = 0;
+    vector<string_view> fields;
+    while (pos < text.size()) {
+      size_t nl = text.find('\n', pos);
+      string_view line =
+          text.substr(pos, nl == string_view::npos ? string_view::npos
+                                                   : nl - pos);
+      pos = nl == string_view::npos ? text.size() : nl + 1;
+      if (!line.empty() && line.back() == '\r') line.remove_suffix(1);
+      if (line.empty()) continue;
+      if (line[0] == '#') {
+        if (line.substr(0, 6) == "#CHROM") {
+          while (!line.empty() && line.back() == '\t') line.remove_suffix(1);
+          split_into(line, '\t', &fields);
+          if (fields.size() < 8)
+            throw FatalError("VCF header has fewer than 8 columns");
+          for (size_t i = 9; i < fields.size(); ++i)
+            result.probands.emplace_back(fields[i]);
+          n_samples = result.probands.size();
+        }
+        continue;
+      }
+      split_into(line, '\t', &fields);
+      if (record_is_supported(fields)) records.push_back(line);
+    }
+  }
+  if (n_samples == 0) throw FatalError("no samples found in VCF header");
+  if (records.empty())
+    throw FatalError("could not extract any records from the provided file");
+
+  // --- per-record decode into per (sample, hap) csq entry lists
+  vector<vector<string_view>> hap_csqs(2 * n_samples);
+  {
+    vector<string_view> fields, entries;
+    MaskIndices mi;
+    for (string_view rec : records) {
+      split_into(rec, '\t', &fields);
+      string_view csq = bcsq_payload(fields[7]);
+      bool entries_split = false;
+      vector<int> supported;
+      for (size_t s = 0; s < n_samples; ++s) {
+        if (9 + s >= fields.size()) break;
+        decode_sample_field(fields[9 + s], &mi);
+        if (!mi.carrier) continue;
+        if (!entries_split) {
+          split_into(csq, ',', &entries);
+          supported.assign(entries.size(), 0);
+          for (size_t e = 0; e < entries.size(); ++e)
+            supported[e] = lookup_type(field_before(entries[e], '|')) >= 0;
+          entries_split = true;
+        }
+        for (int e : mi.hap1)
+          if ((size_t)e < entries.size() && supported[e])
+            hap_csqs[2 * s].push_back(entries[e]);
+          else if ((size_t)e >= entries.size())
+            throw FatalError("bitmask index out of range of BCSQ entries");
+        for (int e : mi.hap2)
+          if ((size_t)e < entries.size() && supported[e])
+            hap_csqs[2 * s + 1].push_back(entries[e]);
+          else if ((size_t)e >= entries.size())
+            throw FatalError("bitmask index out of range of BCSQ entries");
+      }
+    }
+  }
+
+  // --- per-haplotype compile (thread pool over haplotypes)
+  result.haps.resize(2 * n_samples);
+  CompileMemo memo;
+  vector<vector<string>> warn_parts(2 * n_samples);
+  std::exception_ptr first_error;
+  std::mutex err_mu;
+  unsigned hw = n_threads > 0 ? (unsigned)n_threads
+                              : std::max(1u, std::thread::hardware_concurrency());
+  std::atomic<size_t> next{0};
+  auto worker = [&]() {
+    while (true) {
+      size_t i = next.fetch_add(1);
+      if (i >= result.haps.size()) return;
+      try {
+        compile_haplotype(hap_csqs[i], table, qc, &memo, &result.haps[i],
+                          &warn_parts[i]);
+      } catch (...) {
+        std::lock_guard<std::mutex> lock(err_mu);
+        if (!first_error) first_error = std::current_exception();
+        return;
+      }
+    }
+  };
+  if (hw <= 1 || result.haps.size() <= 1) {
+    worker();
+  } else {
+    vector<std::thread> threads;
+    for (unsigned t = 0; t < std::min<size_t>(hw, result.haps.size()); ++t)
+      threads.emplace_back(worker);
+    for (auto& t : threads) t.join();
+  }
+  if (first_error) std::rethrow_exception(first_error);
+  for (auto& w : warn_parts)
+    result.warnings.insert(result.warnings.end(), w.begin(), w.end());
+  return result;
+}
+
+// ------------------------------------------------------- CPython binding ---
+
+PyObject* bytes_from(const void* data, size_t n) {
+  return PyBytes_FromStringAndSize(static_cast<const char*>(data),
+                                   (Py_ssize_t)n);
+}
+
+PyObject* py_compile_cohort(PyObject*, PyObject* args, PyObject* kwargs) {
+  static const char* kwlist[] = {"vcf_path",   "ref_names", "ref_offsets",
+                                 "qc_flags",   "n_threads", nullptr};
+  const char* vcf_path = nullptr;
+  PyObject* ref_names_obj = nullptr;
+  PyObject* ref_offsets_obj = nullptr;  // bytes of int64[n+1]
+  int qc_flags = 7;
+  int n_threads = 0;
+  if (!PyArg_ParseTupleAndKeywords(
+          args, kwargs, "sOO|ii", const_cast<char**>(kwlist), &vcf_path,
+          &ref_names_obj, &ref_offsets_obj, &qc_flags, &n_threads))
+    return nullptr;
+
+  vector<string> ref_names;
+  {
+    PyObject* seq = PySequence_Fast(ref_names_obj, "ref_names must be a sequence");
+    if (!seq) return nullptr;
+    Py_ssize_t n = PySequence_Fast_GET_SIZE(seq);
+    ref_names.reserve((size_t)n);
+    for (Py_ssize_t i = 0; i < n; ++i) {
+      PyObject* item = PySequence_Fast_GET_ITEM(seq, i);
+      Py_ssize_t sz;
+      const char* s = PyUnicode_AsUTF8AndSize(item, &sz);
+      if (!s) {
+        Py_DECREF(seq);
+        return nullptr;
+      }
+      ref_names.emplace_back(s, (size_t)sz);
+    }
+    Py_DECREF(seq);
+  }
+  vector<int64_t> ref_offsets;
+  {
+    char* buf;
+    Py_ssize_t sz;
+    if (PyBytes_AsStringAndSize(ref_offsets_obj, &buf, &sz) < 0) return nullptr;
+    if ((size_t)sz != (ref_names.size() + 1) * sizeof(int64_t)) {
+      PyErr_SetString(PyExc_ValueError, "ref_offsets size mismatch");
+      return nullptr;
+    }
+    ref_offsets.resize(ref_names.size() + 1);
+    std::memcpy(ref_offsets.data(), buf, (size_t)sz);
+  }
+
+  QcFlags qc;
+  qc.inspect_ins_gen = qc_flags & 1;
+  qc.inspect_txp = qc_flags & 2;
+  qc.panic_on_err = qc_flags & 4;
+
+  // read the VCF and compile without the GIL
+  CohortResult result;
+  string err_msg;
+  bool failed = false;
+  Py_BEGIN_ALLOW_THREADS try {
+    std::ifstream in(vcf_path, std::ios::binary | std::ios::ate);
+    if (!in) throw FatalError(string("could not open ") + vcf_path);
+    std::streamsize size = in.tellg();
+    in.seekg(0);
+    string text((size_t)size, '\0');
+    if (!in.read(text.data(), size))
+      throw FatalError(string("could not read ") + vcf_path);
+    result = compile_cohort_impl(text, ref_names, ref_offsets, qc, n_threads);
+  } catch (const std::exception& e) {
+    err_msg = e.what();
+    failed = true;
+  }
+  Py_END_ALLOW_THREADS;
+  if (failed) {
+    PyErr_SetString(PyExc_RuntimeError, err_msg.c_str());
+    return nullptr;
+  }
+
+  PyObject* probands = PyList_New((Py_ssize_t)result.probands.size());
+  for (size_t i = 0; i < result.probands.size(); ++i)
+    PyList_SET_ITEM(probands, (Py_ssize_t)i,
+                    PyUnicode_FromStringAndSize(result.probands[i].data(),
+                                                (Py_ssize_t)result.probands[i].size()));
+  PyObject* haps = PyList_New((Py_ssize_t)result.haps.size());
+  for (size_t i = 0; i < result.haps.size(); ++i) {
+    HaplotypeOut& h = result.haps[i];
+    PyObject* ann = PyList_New((Py_ssize_t)h.ann.size());
+    for (size_t a = 0; a < h.ann.size(); ++a) {
+      auto [ni, st, en] = h.ann[a];
+      PyList_SET_ITEM(ann, (Py_ssize_t)a,
+                      Py_BuildValue("(LLL)", (long long)ni, (long long)st,
+                                    (long long)en));
+    }
+    PyObject* tup = Py_BuildValue(
+        "(NNNNNLN)",
+        bytes_from(h.exe.data(), h.exe.size()),
+        bytes_from(h.src.data(), h.src.size() * sizeof(int64_t)),
+        bytes_from(h.len.data(), h.len.size() * sizeof(int64_t)),
+        bytes_from(h.dst.data(), h.dst.size() * sizeof(int64_t)),
+        bytes_from(h.alt.data(), h.alt.size()),
+        (long long)h.res_len, ann);
+    PyList_SET_ITEM(haps, (Py_ssize_t)i, tup);
+  }
+  PyObject* warnings = PyList_New((Py_ssize_t)result.warnings.size());
+  for (size_t i = 0; i < result.warnings.size(); ++i)
+    PyList_SET_ITEM(warnings, (Py_ssize_t)i,
+                    PyUnicode_FromStringAndSize(result.warnings[i].data(),
+                                                (Py_ssize_t)result.warnings[i].size()));
+  return Py_BuildValue("(NNN)", probands, haps, warnings);
+}
+
+PyMethodDef methods[] = {
+    {"compile_cohort", (PyCFunction)py_compile_cohort,
+     METH_VARARGS | METH_KEYWORDS,
+     "Parse a bcftools/csq VCF and compile per-haplotype task programs."},
+    {nullptr, nullptr, 0, nullptr}};
+
+PyModuleDef module = {PyModuleDef_HEAD_INIT, "vcf2prot_native",
+                      "native frontend + compiler", -1, methods};
+
+}  // namespace
+
+PyMODINIT_FUNC PyInit_vcf2prot_native(void) { return PyModule_Create(&module); }

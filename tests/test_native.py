@@ -1,0 +1,93 @@
+"""Native (C++) frontend/compiler parity against the Python oracle path.
+
+The native module must produce identical task programs and, after execution,
+byte-identical haplotype tapes for randomized cohorts.
+"""
+import numpy as np
+import pytest
+
+from genvcf import random_cohort, write_fasta, write_synthetic_vcf
+from vcf2prot_tpu.compiler.haplotype import RefBlob
+from vcf2prot_tpu.compiler.qc import QcConfig
+from vcf2prot_tpu.native_bridge import compile_cohort_native, load_native
+from vcf2prot_tpu.pipeline import parse_vcf_to_int_maps
+from vcf2prot_tpu.compiler.proband import compile_proband
+from vcf2prot_tpu.runtime.cpu_engine import execute_tasks
+
+pytestmark = pytest.mark.skipif(
+    load_native() is None, reason="native module unavailable"
+)
+
+QC = QcConfig()
+
+
+def build_cohort_files(tmp_path, seed, n_samples=6, n_transcripts=12):
+    ref, samples = random_cohort(seed, n_samples, n_transcripts)
+    vcf = tmp_path / "cohort.vcf"
+    fasta = tmp_path / "ref.fasta"
+    write_synthetic_vcf(str(vcf), ref, samples)
+    write_fasta(str(fasta), ref)
+    return ref, str(vcf)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 5, 11, 42])
+def test_native_matches_python_path(seed, tmp_path):
+    ref, vcf = build_cohort_files(tmp_path, seed)
+    blob = RefBlob.from_ref_seqs(ref)
+
+    # python oracle path
+    int_maps = parse_vcf_to_int_maps(vcf)
+    cache = {}
+    py_programs = []
+    py_probands = []
+    for m in int_maps:
+        pp = compile_proband(m, ref, blob, QC, cache)
+        py_probands.append(pp.proband)
+        py_programs.extend([pp.hap1, pp.hap2])
+
+    # native path
+    nat = compile_cohort_native(vcf, ref, blob, QC)
+    assert nat is not None
+    probands, nat_programs, warnings = nat
+    assert probands == py_probands
+    assert len(nat_programs) == len(py_programs)
+    for i, (a, b) in enumerate(zip(py_programs, nat_programs)):
+        assert a.res_len == b.res_len, f"hap {i}: res_len mismatch"
+        assert a.annotations == b.annotations, f"hap {i}: annotations mismatch"
+        np.testing.assert_array_equal(a.exe, b.exe, err_msg=f"hap {i} exe")
+        np.testing.assert_array_equal(a.src, b.src, err_msg=f"hap {i} src")
+        np.testing.assert_array_equal(a.length, b.length, err_msg=f"hap {i} len")
+        np.testing.assert_array_equal(a.dst, b.dst, err_msg=f"hap {i} dst")
+        assert a.alt == b.alt, f"hap {i}: alt tape mismatch"
+        np.testing.assert_array_equal(
+            execute_tasks(a, blob), execute_tasks(b, blob),
+            err_msg=f"hap {i} executed output",
+        )
+
+
+def test_native_translation_cases(tmp_path):
+    """The MAD1L1 translation fixtures through the native path end-to-end."""
+    import sys
+
+    sys.path.insert(0, str(tmp_path))
+    from fixtures import MAD1L1_FULL
+
+    ref = {"ENST00000406869": MAD1L1_FULL}
+    muts = [
+        "missense|MAD1L1|ENST00000406869|protein_coding|-|666K>666N|1898200C>G",
+        "inframe_insertion|MAD1L1|ENST00000406869|protein_coding|-|190L>190KQEL|2219360G>GCTCCTGCT",
+    ]
+    vcf = tmp_path / "one.vcf"
+    lines = [
+        "##fileformat=VCFv4.2",
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1",
+        "1\t100\tv1\tA\tT\t9\tPASS\tBCSQ=" + ",".join(muts) + "\tGT:BCSQ\t0|1:5",
+    ]
+    vcf.write_text("\n".join(lines) + "\n")
+    blob = RefBlob.from_ref_seqs(ref)
+    probands, programs, _w = compile_cohort_native(str(vcf), ref, blob, QC)
+    assert probands == ["S1"]
+    out = execute_tasks(programs[0], blob).tobytes().decode()
+    assert len(out) == 721
+    assert out[668] == "N"
+    assert programs[1].res_len == 0

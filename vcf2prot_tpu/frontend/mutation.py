@@ -61,9 +61,11 @@ class MutationInfo:
 
     @staticmethod
     def new(ref_pos_1based: int, mut_pos_1based: int, ref_aa: str, mut_aa: str):
+        # the 1->0-based conversion is u16 arithmetic in the reference
+        # (mutation_ds.rs:137-138): position 0 wraps to 65535 in release mode
         return MutationInfo(
-            ref_pos_1based - 1,
-            mut_pos_1based - 1,
+            (ref_pos_1based - 1) & 0xFFFF,
+            (mut_pos_1based - 1) & 0xFFFF,
             MutatedString.from_str(ref_aa),
             MutatedString.from_str(mut_aa),
         )

@@ -65,6 +65,12 @@ def parse_amino_acid_seq_position(field: str):
     if not digits:
         raise CsqParseError(f"Parsing the input sequence {field} failed: no position")
     position = int(digits)
+    if position > 0xFFFF:
+        # positions are u16 in the reference (mutation_ds.rs:109-110); an
+        # overflowing position fails the parse and the mutation is dropped
+        raise CsqParseError(
+            f"Parsing the input sequence {field} failed: position overflow"
+        )
     sequence = "".join(c for c in field if c not in _DIGITS)
     if not sequence:
         sequence = "*"
@@ -96,6 +102,10 @@ def parse_fields(field: str) -> str:
     try:
         value = int(field)
     except ValueError:
+        return DEF_CONSEQ
+    if not -(1 << 31) <= value < (1 << 31):
+        # the reference parses scalar masks as i32 (text_parser.rs:207);
+        # out-of-range values fail the parse and decode as "reference"
         return DEF_CONSEQ
     if value < 0:
         raise InvalidBitMaskError(

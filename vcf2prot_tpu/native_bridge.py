@@ -1,0 +1,122 @@
+"""Loader + bridge for the C++ native frontend/compiler.
+
+The native module implements the host-side hot path (VCF scan, bitmask
+decode, instruction compile, task emission, haplotype fusion) with semantics
+identical to the Python modules; the Python path remains the conformance
+oracle. The extension is built on demand with g++ and cached next to the
+source; when unavailable the bridge reports so and callers fall back to the
+Python path.
+"""
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import sysconfig
+
+import numpy as np
+
+from .compiler.haplotype import HaplotypeProgram, RefBlob
+from .compiler.qc import QcConfig
+
+_NATIVE = None
+_NATIVE_TRIED = False
+
+_SRC = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "native",
+    "vcf2prot_native.cpp",
+)
+
+
+def _build_native(src: str, out: str) -> bool:
+    include = sysconfig.get_paths()["include"]
+    cmd = [
+        "g++", "-O2", "-std=c++17", "-shared", "-fPIC",
+        f"-I{include}", src, "-o", out,
+    ]
+    try:
+        proc = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
+    except (OSError, subprocess.TimeoutExpired):
+        return False
+    if proc.returncode != 0:
+        print(
+            f"native build failed:\n{proc.stderr[-2000:]}", file=sys.stderr
+        )
+        return False
+    return True
+
+
+def load_native():
+    """Import (building if needed) the native module; None if unavailable."""
+    global _NATIVE, _NATIVE_TRIED
+    if _NATIVE_TRIED:
+        return _NATIVE
+    _NATIVE_TRIED = True
+    if os.environ.get("VCF2PROT_NO_NATIVE"):
+        return None
+    build_dir = os.path.join(os.path.dirname(_SRC), "build")
+    so_path = os.path.join(build_dir, "vcf2prot_native.so")
+    try:
+        if not os.path.exists(_SRC):
+            return None
+        os.makedirs(build_dir, exist_ok=True)
+        if (
+            not os.path.exists(so_path)
+            or os.path.getmtime(so_path) < os.path.getmtime(_SRC)
+        ):
+            if not _build_native(_SRC, so_path):
+                return None
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "vcf2prot_native", so_path
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        _NATIVE = mod
+    except Exception as err:  # pragma: no cover - defensive
+        print(f"native module unavailable: {err}", file=sys.stderr)
+        _NATIVE = None
+    return _NATIVE
+
+
+def qc_to_flags(qc: QcConfig) -> int:
+    return (
+        (1 if qc.inspect_ins_gen else 0)
+        | (2 if qc.inspect_txp else 0)
+        | (4 if qc.panic_inspect_err else 0)
+    )
+
+
+def compile_cohort_native(vcf_path, ref_seqs: dict, blob: RefBlob,
+                          qc: QcConfig, n_threads: int = 0):
+    """Full native parse+compile.
+
+    Returns ``(probands, [HaplotypeProgram x 2*n_samples], warnings)`` or
+    ``None`` when the native module is unavailable.
+    """
+    native = load_native()
+    if native is None:
+        return None
+    names = list(ref_seqs.keys())
+    offsets = np.zeros(len(names) + 1, dtype=np.int64)
+    for i, n in enumerate(names):
+        offsets[i + 1] = offsets[i] + len(ref_seqs[n])
+    probands, haps, warnings = native.compile_cohort(
+        str(vcf_path), names, offsets.tobytes(),
+        qc_flags=qc_to_flags(qc), n_threads=n_threads,
+    )
+    programs = []
+    for exe_b, src_b, len_b, dst_b, alt_b, res_len, ann in haps:
+        prog = HaplotypeProgram(
+            exe=np.frombuffer(exe_b, dtype=np.uint8),
+            src=np.frombuffer(src_b, dtype=np.int64),
+            length=np.frombuffer(len_b, dtype=np.int64),
+            dst=np.frombuffer(dst_b, dtype=np.int64),
+            alt=alt_b,
+            res_len=res_len,
+            annotations=[(names[ni], st, en) for (ni, st, en) in ann],
+        )
+        programs.append(prog)
+    return probands, programs, warnings

@@ -49,6 +49,9 @@ class PipelineConfig:
     num_threads: int = 0
     chunk_res_bytes: int = DEFAULT_CHUNK_RES_BYTES
     qc: QcConfig = None
+    # use the C++ frontend/compiler when available; stats and int-map dumps
+    # need the Python intermediate maps and route through the Python path
+    use_native: bool = True
 
 
 @dataclass
@@ -116,48 +119,70 @@ def run_pipeline(cfg: PipelineConfig) -> PipelineResult:
     qc = cfg.qc if cfg.qc is not None else default_qc()
     result = PipelineResult()
 
-    with timer.stage("Reading and loading the VCF file"):
-        int_maps = parse_vcf_to_int_maps(cfg.vcf_path, cfg.num_threads)
-
     with timer.stage("Loading the Reference file"):
         ref_seqs = fasta.read_fasta(cfg.fasta_path)
         blob = RefBlob.from_ref_seqs(ref_seqs)
 
-    if cfg.write_int_map:
-        with timer.stage("Writing the intermediate representation map"):
-            write_intmap2json(os.path.join(cfg.outdir, "int_maps"), int_maps)
+    # stats / int-map dumps need the Python intermediate maps; everything else
+    # can take the C++ fast path (parse + compile in one native call)
+    native_result = None
+    need_int_maps = cfg.compute_stats or cfg.write_int_map
+    if cfg.use_native and not need_int_maps:
+        from .native_bridge import compile_cohort_native
 
-    if cfg.compute_stats:
-        with timer.stage("Computing and writing the stats"):
-            per_proband, per_type, per_transcript = compute_stats(int_maps)
-            write_num_mutation_per_proband(cfg.outdir, per_proband)
-            write_type_mutations_per_patient(cfg.outdir, per_type)
-            write_number_of_mutations_per_transcript(cfg.outdir, per_transcript)
+        with timer.stage("Parsing and compiling (native)"):
+            native_result = compile_cohort_native(
+                cfg.vcf_path, ref_seqs, blob, qc, cfg.num_threads
+            )
 
-    with timer.stage("Generating personalized genomes (compile)"):
-        compile_cache: dict = {}
-        proband_programs = [
-            compile_proband(m, ref_seqs, blob, qc, compile_cache)
-            for m in int_maps
-        ]
-        flat = []
-        for pp in proband_programs:
-            flat.append(pp.hap1)
-            flat.append(pp.hap2)
+    if native_result is not None:
+        probands, flat, warnings = native_result
+        for w in warnings:
+            print(w, file=__import__("sys").stderr)
+        proband_names = probands
+    else:
+        with timer.stage("Reading and loading the VCF file"):
+            int_maps = parse_vcf_to_int_maps(cfg.vcf_path, cfg.num_threads)
+
+        if cfg.write_int_map:
+            with timer.stage("Writing the intermediate representation map"):
+                write_intmap2json(os.path.join(cfg.outdir, "int_maps"), int_maps)
+
+        if cfg.compute_stats:
+            with timer.stage("Computing and writing the stats"):
+                per_proband, per_type, per_transcript = compute_stats(int_maps)
+                write_num_mutation_per_proband(cfg.outdir, per_proband)
+                write_type_mutations_per_patient(cfg.outdir, per_type)
+                write_number_of_mutations_per_transcript(
+                    cfg.outdir, per_transcript
+                )
+
+        with timer.stage("Generating personalized genomes (compile)"):
+            compile_cache: dict = {}
+            proband_programs = [
+                compile_proband(m, ref_seqs, blob, qc, compile_cache)
+                for m in int_maps
+            ]
+            proband_names = [pp.proband for pp in proband_programs]
+            flat = []
+            for pp in proband_programs:
+                flat.append(pp.hap1)
+                flat.append(pp.hap2)
 
     with timer.stage("Generating personalized genomes (execute)"):
         outputs = execute_programs(flat, blob, cfg.engine, cfg.chunk_res_bytes)
 
     with timer.stage("Assembling proteomes"):
-        for i, pp in enumerate(proband_programs):
+        for i, name in enumerate(proband_names):
+            hap1, hap2 = flat[2 * i], flat[2 * i + 1]
             h1, h2 = outputs[2 * i], outputs[2 * i + 1]
             result.proteomes.append(
                 PersonalizedProteome(
-                    pp.proband, h1, pp.hap1.annotations, h2, pp.hap2.annotations
+                    name, h1, hap1.annotations, h2, hap2.annotations
                 )
             )
-            result.n_haplotype_seqs += len(pp.hap1.annotations) + len(
-                pp.hap2.annotations
+            result.n_haplotype_seqs += len(hap1.annotations) + len(
+                hap2.annotations
             )
             result.total_output_bytes += h1.size + h2.size
 
@@ -172,6 +197,6 @@ def run_pipeline(cfg: PipelineConfig) -> PipelineResult:
             num_threads=threads,
         )
 
-    result.n_samples = len(int_maps)
+    result.n_samples = len(proband_names)
     result.durations = dict(timer.durations)
     return result
