@@ -1271,10 +1271,62 @@ PyObject* py_compile_cohort(PyObject*, PyObject* args, PyObject* kwargs) {
   return Py_BuildValue("(NNN)", probands, haps, warnings);
 }
 
+// Execute one haplotype's task program into a fresh byte tape: the native
+// memcpy-speed counterpart of the Python serial oracle (task.rs:38-50).
+PyObject* py_execute_tasks(PyObject*, PyObject* args) {
+  Py_buffer exe_b, src_b, len_b, dst_b, alt_b, blob_b;
+  long long res_len;
+  if (!PyArg_ParseTuple(args, "y*y*y*y*y*y*L", &exe_b, &src_b, &len_b, &dst_b,
+                        &alt_b, &blob_b, &res_len))
+    return nullptr;
+  PyObject* out = PyBytes_FromStringAndSize(nullptr, (Py_ssize_t)res_len);
+  if (!out) return nullptr;
+  char* res = PyBytes_AS_STRING(out);
+  bool ok = true;
+  Py_BEGIN_ALLOW_THREADS {
+    std::memset(res, '.', (size_t)res_len);
+    const uint8_t* exe = static_cast<const uint8_t*>(exe_b.buf);
+    const int64_t* src = static_cast<const int64_t*>(src_b.buf);
+    const int64_t* len = static_cast<const int64_t*>(len_b.buf);
+    const int64_t* dst = static_cast<const int64_t*>(dst_b.buf);
+    const char* alt = static_cast<const char*>(alt_b.buf);
+    const char* blob = static_cast<const char*>(blob_b.buf);
+    int64_t alt_n = (int64_t)alt_b.len;
+    int64_t blob_n = (int64_t)blob_b.len;
+    size_t n = (size_t)(exe_b.len);
+    for (size_t i = 0; i < n; ++i) {
+      if (len[i] <= 0) continue;
+      if (dst[i] < 0 || dst[i] + len[i] > res_len) { ok = false; break; }
+      if (exe[i] == 0) {
+        if (src[i] < 0 || src[i] + len[i] > blob_n) { ok = false; break; }
+        std::memcpy(res + dst[i], blob + src[i], (size_t)len[i]);
+      } else if (exe[i] == 1) {
+        if (src[i] < 0 || src[i] + len[i] > alt_n) { ok = false; break; }
+        std::memcpy(res + dst[i], alt + src[i], (size_t)len[i]);
+      }
+    }
+  }
+  Py_END_ALLOW_THREADS;
+  PyBuffer_Release(&exe_b);
+  PyBuffer_Release(&src_b);
+  PyBuffer_Release(&len_b);
+  PyBuffer_Release(&dst_b);
+  PyBuffer_Release(&alt_b);
+  PyBuffer_Release(&blob_b);
+  if (!ok) {
+    Py_DECREF(out);
+    PyErr_SetString(PyExc_IndexError, "task program out of bounds");
+    return nullptr;
+  }
+  return out;
+}
+
 PyMethodDef methods[] = {
     {"compile_cohort", (PyCFunction)py_compile_cohort,
      METH_VARARGS | METH_KEYWORDS,
      "Parse a bcftools/csq VCF and compile per-haplotype task programs."},
+    {"execute_tasks", py_execute_tasks, METH_VARARGS,
+     "Execute a haplotype task program into a byte tape."},
     {nullptr, nullptr, 0, nullptr}};
 
 PyModuleDef module = {PyModuleDef_HEAD_INIT, "vcf2prot_native",

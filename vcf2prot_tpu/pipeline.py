@@ -109,7 +109,9 @@ def execute_programs(programs, blob, engine: Engine, chunk_res_bytes=DEFAULT_CHU
     if engine is Engine.MT:
         with ThreadPoolExecutor() as pool:
             return list(
-                pool.map(lambda p: cpu_engine.execute_tasks(p, blob), programs)
+                pool.map(
+                    lambda p: cpu_engine.execute_tasks_fast(p, blob), programs
+                )
             )
     return [cpu_engine.execute_tasks(p, blob) for p in programs]
 

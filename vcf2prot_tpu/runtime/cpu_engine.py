@@ -35,6 +35,26 @@ def execute_tasks(prog: HaplotypeProgram, blob: RefBlob) -> np.ndarray:
     return res
 
 
+def execute_tasks_fast(prog: HaplotypeProgram, blob: RefBlob) -> np.ndarray:
+    """Native memcpy executor when available, else the Python oracle."""
+    from ..native_bridge import load_native
+
+    native = load_native()
+    if native is None or not hasattr(native, "execute_tasks"):
+        return execute_tasks(prog, blob)
+    alt = prog.alt.encode("ascii") if isinstance(prog.alt, str) else prog.alt
+    out = native.execute_tasks(
+        np.ascontiguousarray(prog.exe),
+        np.ascontiguousarray(prog.src),
+        np.ascontiguousarray(prog.length),
+        np.ascontiguousarray(prog.dst),
+        alt,
+        np.ascontiguousarray(blob.data),
+        prog.res_len,
+    )
+    return np.frombuffer(out, dtype=np.uint8)
+
+
 def gather_indices(exe, src, length, total: int, ref_len: int):
     """Per-output-byte source index into the combined (ref || alt) tape.
 
