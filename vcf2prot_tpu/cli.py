@@ -33,7 +33,7 @@ def build_parser() -> argparse.ArgumentParser:
             "phased, bcftools/csq-annotated VCF and a reference proteome."
         ),
     )
-    p.add_argument("-f", "--vcf_file", required=True, help="path to the input VCF")
+    p.add_argument("-f", "--vcf_file", default="", help="path to the input VCF")
     p.add_argument("-r", "--fasta_ref", required=True, help="reference proteome FASTA")
     p.add_argument("-o", "--output_path", required=True, help="output directory")
     p.add_argument(
@@ -51,12 +51,26 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--threads", type=int, default=0, help="host worker threads (0 = auto)"
     )
+    p.add_argument(
+        "--resume_int_maps",
+        default="",
+        metavar="DIR",
+        help="resume from an int_maps/ checkpoint directory (skips -f parsing)",
+    )
+    p.add_argument(
+        "--no-native",
+        action="store_true",
+        help="disable the C++ fast path (use the Python reference path)",
+    )
     return p
 
 
 def check_paths(args) -> None:
     """Existence checks mirroring the reference (cli.rs:32-55)."""
-    for path, what in ((args.vcf_file, "VCF file"), (args.fasta_ref, "FASTA file")):
+    checks = [(args.fasta_ref, "FASTA file")]
+    if not args.resume_int_maps:
+        checks.append((args.vcf_file, "VCF file"))
+    for path, what in checks:
         if not os.path.exists(path):
             sys.exit(f"The provided {what}: {path} does not exist")
     if not os.path.isdir(args.output_path):
@@ -86,6 +100,8 @@ def main(argv=None) -> int:
         single_thread_writes=args.single_thread,
         num_threads=args.threads,
         qc=default_qc(),
+        use_native=not args.no_native,
+        resume_int_maps=args.resume_int_maps,
     )
     result = run_pipeline(cfg)
     if args.verbose:

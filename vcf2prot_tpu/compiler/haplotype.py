@@ -93,7 +93,16 @@ def _compile_transcript_cached(alt_transcript, ref_seqs, qc, cache):
     """
     key = None
     if cache is not None:
-        key = (alt_transcript.name, alt_transcript.csq_key)
+        identity = alt_transcript.csq_key
+        if not identity and alt_transcript.alts:
+            # checkpoint-restored transcripts have no source strings; key on
+            # the full mutation identity instead
+            identity = tuple(
+                (m.mut_type, m.info.ref_pos, m.info.mut_pos,
+                 m.info.ref_aa, m.info.mut_aa)
+                for m in alt_transcript.alts
+            )
+        key = (alt_transcript.name, identity)
         hit = cache.get(key)
         if hit is not None:
             if isinstance(hit, TranscriptCompileError):

@@ -52,6 +52,8 @@ class PipelineConfig:
     # use the C++ frontend/compiler when available; stats and int-map dumps
     # need the Python intermediate maps and route through the Python path
     use_native: bool = True
+    # resume from a previously dumped int_maps/ directory (skips VCF parsing)
+    resume_int_maps: str = ""
 
 
 @dataclass
@@ -129,7 +131,7 @@ def run_pipeline(cfg: PipelineConfig) -> PipelineResult:
     # can take the C++ fast path (parse + compile in one native call)
     native_result = None
     need_int_maps = cfg.compute_stats or cfg.write_int_map
-    if cfg.use_native and not need_int_maps:
+    if cfg.use_native and not need_int_maps and not cfg.resume_int_maps:
         from .native_bridge import compile_cohort_native
 
         with timer.stage("Parsing and compiling (native)"):
@@ -143,8 +145,14 @@ def run_pipeline(cfg: PipelineConfig) -> PipelineResult:
             print(w, file=__import__("sys").stderr)
         proband_names = probands
     else:
-        with timer.stage("Reading and loading the VCF file"):
-            int_maps = parse_vcf_to_int_maps(cfg.vcf_path, cfg.num_threads)
+        if cfg.resume_int_maps:
+            from .io.checkpoint import read_intmap_json
+
+            with timer.stage("Resuming from int-map checkpoint"):
+                int_maps = read_intmap_json(cfg.resume_int_maps)
+        else:
+            with timer.stage("Reading and loading the VCF file"):
+                int_maps = parse_vcf_to_int_maps(cfg.vcf_path, cfg.num_threads)
 
         if cfg.write_int_map:
             with timer.stage("Writing the intermediate representation map"):
