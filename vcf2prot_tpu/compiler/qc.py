@@ -33,9 +33,12 @@ class QcConfig:
     debug_cpu_exec: bool = True
     panic_inspect_err: bool = True
     debug_txp: str = ""
+    # device-side task-stream validation before execution (the reference's
+    # DEBUG_GPU check of the GPU input arrays, realized as a Pallas kernel)
+    debug_device_exec: bool = False
 
 
-QC_OFF = QcConfig(False, False, False, False, "")
+QC_OFF = QcConfig(False, False, False, False, "", False)
 
 
 def default_qc() -> QcConfig:
@@ -50,5 +53,9 @@ def default_qc() -> QcConfig:
             debug_cpu_exec="DEBUG_CPU_EXEC" in os.environ,
             panic_inspect_err="PANIC_INSPECT_ERR" in os.environ,
             debug_txp=os.environ.get("DEBUG_TXP", ""),
+            debug_device_exec="DEBUG_GPU" in os.environ,
         )
-    return QcConfig(debug_txp=os.environ.get("DEBUG_TXP", ""))
+    return QcConfig(
+        debug_txp=os.environ.get("DEBUG_TXP", ""),
+        debug_device_exec="DEBUG_GPU" in os.environ,
+    )

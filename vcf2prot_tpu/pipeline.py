@@ -91,7 +91,9 @@ def _chunk_indices(programs, chunk_res_bytes):
     return chunks
 
 
-def execute_programs(programs, blob, engine: Engine, chunk_res_bytes=DEFAULT_CHUNK_RES_BYTES):
+def execute_programs(programs, blob, engine: Engine,
+                     chunk_res_bytes=DEFAULT_CHUNK_RES_BYTES,
+                     validate_device=False):
     """Execute haplotype programs with the selected engine; returns one uint8
     array per program."""
     if engine is Engine.AUTO:
@@ -101,7 +103,7 @@ def execute_programs(programs, blob, engine: Engine, chunk_res_bytes=DEFAULT_CHU
     if engine is Engine.TPU:
         from .runtime.tpu_engine import TpuEngine
 
-        dev = TpuEngine(blob)
+        dev = TpuEngine(blob, validate_on_device=validate_device)
         outputs = [None] * len(programs)
         for chunk in _chunk_indices(programs, chunk_res_bytes):
             outs = dev.execute([programs[i] for i in chunk])
@@ -180,7 +182,10 @@ def run_pipeline(cfg: PipelineConfig) -> PipelineResult:
                 flat.append(pp.hap2)
 
     with timer.stage("Generating personalized genomes (execute)"):
-        outputs = execute_programs(flat, blob, cfg.engine, cfg.chunk_res_bytes)
+        outputs = execute_programs(
+            flat, blob, cfg.engine, cfg.chunk_res_bytes,
+            validate_device=qc.debug_device_exec,
+        )
 
     with timer.stage("Assembling proteomes"):
         for i, name in enumerate(proband_names):

@@ -67,7 +67,7 @@ class TpuEngine:
     programs so behavior degrades to the oracle rather than mis-executing.
     """
 
-    def __init__(self, blob: RefBlob, device=None):
+    def __init__(self, blob: RefBlob, device=None, validate_on_device=False):
         import jax
         import jax.numpy as jnp
 
@@ -77,6 +77,7 @@ class TpuEngine:
         self.device = device or jax.devices()[0]
         self._blob_dev = jax.device_put(blob.data, self.device)
         self._run_cache = {}
+        self.validate = validate_on_device
 
     def _runner(self, out_size: int):
         if out_size not in self._run_cache:
@@ -97,6 +98,22 @@ class TpuEngine:
         jax, jnp = self._jax, self._jnp
         if packed.total_res == 0:
             return [np.empty(0, dtype=np.uint8) for _ in programs]
+        if self.validate:
+            from .kernels import validate_on_device as _validate
+
+            lengths = np.diff(
+                np.append(packed.dst, packed.total_res)
+            ).astype(np.int32)
+            errors = _validate(
+                packed.dst, lengths, packed.src_biased,
+                combined_len=len(self.blob.data) + len(packed.alt),
+                res_len=packed.total_res,
+            )
+            if errors:
+                raise AssertionError(
+                    f"device-side task-stream validation failed: {errors} "
+                    "invariant violations"
+                )
         n_tasks = len(packed.dst)
         task_bucket = pad_to_bucket(n_tasks)
         out_bucket = pad_to_bucket(packed.total_res)
