@@ -23,7 +23,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tes
 
 REF_BIN = "/root/reference/bins/Linux/vcf2prot"
 WORKDIR = "/tmp/vcf2prot_bench"
-N_SAMPLES = int(os.environ.get("BENCH_SAMPLES", "64"))
+N_SAMPLES = int(os.environ.get("BENCH_SAMPLES", "128"))
 N_TRANSCRIPTS = int(os.environ.get("BENCH_TRANSCRIPTS", "1200"))
 SEED = 20260817
 

@@ -1087,38 +1087,76 @@ CohortResult compile_cohort_impl(const string& vcf_text,
   if (records.empty())
     throw FatalError("could not extract any records from the provided file");
 
-  // --- per-record decode into per (sample, hap) csq entry lists
+  // --- per-record decode into per (sample, hap) csq entry lists, threaded
+  // over record chunks and merged in record order so per-haplotype mutation
+  // order matches a serial pass
   vector<vector<string_view>> hap_csqs(2 * n_samples);
   {
-    vector<string_view> fields, entries;
-    MaskIndices mi;
-    for (string_view rec : records) {
-      split_into(rec, '\t', &fields);
-      string_view csq = bcsq_payload(fields[7]);
-      bool entries_split = false;
-      vector<int> supported;
-      for (size_t s = 0; s < n_samples; ++s) {
-        if (9 + s >= fields.size()) break;
-        decode_sample_field(fields[9 + s], &mi);
-        if (!mi.carrier) continue;
-        if (!entries_split) {
-          split_into(csq, ',', &entries);
-          supported.assign(entries.size(), 0);
-          for (size_t e = 0; e < entries.size(); ++e)
-            supported[e] = lookup_type(field_before(entries[e], '|')) >= 0;
-          entries_split = true;
+    unsigned dec_threads =
+        n_threads > 0 ? (unsigned)n_threads
+                      : std::max(1u, std::thread::hardware_concurrency());
+    size_t n_chunks =
+        std::min<size_t>(std::max<size_t>(dec_threads, 1),
+                         std::max<size_t>(records.size() / 2048, 1));
+    size_t chunk_sz = (records.size() + n_chunks - 1) / n_chunks;
+    vector<vector<vector<string_view>>> chunk_out(
+        n_chunks, vector<vector<string_view>>(2 * n_samples));
+    std::exception_ptr dec_error;
+    std::mutex dec_mu;
+    auto decode_chunk = [&](size_t c) {
+      try {
+        vector<string_view> fields, entries;
+        MaskIndices mi;
+        auto& out = chunk_out[c];
+        size_t lo = c * chunk_sz;
+        size_t hi = std::min(records.size(), lo + chunk_sz);
+        for (size_t r = lo; r < hi; ++r) {
+          split_into(records[r], '\t', &fields);
+          string_view csq = bcsq_payload(fields[7]);
+          bool entries_split = false;
+          vector<int> supported;
+          for (size_t s = 0; s < n_samples; ++s) {
+            if (9 + s >= fields.size()) break;
+            decode_sample_field(fields[9 + s], &mi);
+            if (!mi.carrier) continue;
+            if (!entries_split) {
+              split_into(csq, ',', &entries);
+              supported.assign(entries.size(), 0);
+              for (size_t e = 0; e < entries.size(); ++e)
+                supported[e] = lookup_type(field_before(entries[e], '|')) >= 0;
+              entries_split = true;
+            }
+            for (int e : mi.hap1)
+              if ((size_t)e < entries.size() && supported[e])
+                out[2 * s].push_back(entries[e]);
+              else if ((size_t)e >= entries.size())
+                throw FatalError("bitmask index out of range of BCSQ entries");
+            for (int e : mi.hap2)
+              if ((size_t)e < entries.size() && supported[e])
+                out[2 * s + 1].push_back(entries[e]);
+              else if ((size_t)e >= entries.size())
+                throw FatalError("bitmask index out of range of BCSQ entries");
+          }
         }
-        for (int e : mi.hap1)
-          if ((size_t)e < entries.size() && supported[e])
-            hap_csqs[2 * s].push_back(entries[e]);
-          else if ((size_t)e >= entries.size())
-            throw FatalError("bitmask index out of range of BCSQ entries");
-        for (int e : mi.hap2)
-          if ((size_t)e < entries.size() && supported[e])
-            hap_csqs[2 * s + 1].push_back(entries[e]);
-          else if ((size_t)e >= entries.size())
-            throw FatalError("bitmask index out of range of BCSQ entries");
+      } catch (...) {
+        std::lock_guard<std::mutex> lock(dec_mu);
+        if (!dec_error) dec_error = std::current_exception();
       }
+    };
+    if (n_chunks <= 1) {
+      decode_chunk(0);
+    } else {
+      vector<std::thread> ts;
+      for (size_t c = 0; c < n_chunks; ++c) ts.emplace_back(decode_chunk, c);
+      for (auto& t : ts) t.join();
+    }
+    if (dec_error) std::rethrow_exception(dec_error);
+    for (size_t h = 0; h < 2 * n_samples; ++h) {
+      size_t total = 0;
+      for (auto& co : chunk_out) total += co[h].size();
+      hap_csqs[h].reserve(total);
+      for (auto& co : chunk_out)
+        hap_csqs[h].insert(hap_csqs[h].end(), co[h].begin(), co[h].end());
     }
   }
 
