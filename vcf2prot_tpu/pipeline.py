@@ -54,6 +54,8 @@ class PipelineConfig:
     use_native: bool = True
     # resume from a previously dumped int_maps/ directory (skips VCF parsing)
     resume_int_maps: str = ""
+    # restrict to a subset of sample indices (multi-host shard assignment)
+    sample_indices: list = None
 
 
 @dataclass
@@ -146,6 +148,15 @@ def run_pipeline(cfg: PipelineConfig) -> PipelineResult:
         for w in warnings:
             print(w, file=__import__("sys").stderr)
         proband_names = probands
+        if cfg.sample_indices is not None:
+            keep = set(cfg.sample_indices)
+            proband_names = [p for i, p in enumerate(proband_names) if i in keep]
+            flat = [
+                h
+                for i in range(len(probands))
+                if i in keep
+                for h in (flat[2 * i], flat[2 * i + 1])
+            ]
     else:
         if cfg.resume_int_maps:
             from .io.checkpoint import read_intmap_json
@@ -155,6 +166,9 @@ def run_pipeline(cfg: PipelineConfig) -> PipelineResult:
         else:
             with timer.stage("Reading and loading the VCF file"):
                 int_maps = parse_vcf_to_int_maps(cfg.vcf_path, cfg.num_threads)
+        if cfg.sample_indices is not None:
+            keep = set(cfg.sample_indices)
+            int_maps = [m for i, m in enumerate(int_maps) if i in keep]
 
         if cfg.write_int_map:
             with timer.stage("Writing the intermediate representation map"):
