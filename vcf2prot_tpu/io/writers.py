@@ -77,6 +77,22 @@ def write_personalized_proteomes(
             p.write(outdir, write_all, write_compressed, ref_seqs)
 
 
+def write_earlymap2json(path2write, early_maps):
+    """One JSON per sample of the raw per-haplotype consequence strings
+    (writers.rs:12-32); errors if the directory already exists."""
+    os.makedirs(path2write, exist_ok=False)
+    for m in early_maps:
+        with open(os.path.join(path2write, m.proband + ".json"), "w") as fh:
+            json.dump(
+                {
+                    "proband_name": m.proband,
+                    "mutations1": m.mutations1,
+                    "mutations2": m.mutations2,
+                },
+                fh,
+            )
+
+
 def write_intmap2json(path2write, int_maps):
     """One JSON per sample in a fresh directory (writers.rs:41-61); errors if
     the directory already exists, like the reference."""
