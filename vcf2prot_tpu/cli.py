@@ -103,7 +103,10 @@ def main(argv=None) -> int:
         use_native=not args.no_native,
         resume_int_maps=args.resume_int_maps,
     )
-    result = run_pipeline(cfg)
+    try:
+        result = run_pipeline(cfg)
+    except (RuntimeError, ValueError, OSError) as err:
+        sys.exit(f"error: {err}")
     if args.verbose:
         print(
             f"Done: {result.n_samples} samples, "
