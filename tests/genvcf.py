@@ -183,3 +183,101 @@ def write_fasta(path, ref):
             fh.write(f">{name}\n")
             for i in range(0, len(seq), 70):
                 fh.write(seq[i:i + 70] + "\n")
+
+
+def adversarial_transcript_mutations(rng: random.Random, name: str, seq: str):
+    """Denser, nastier mutation lists: tight gaps, compound terminals,
+    start_lost erasure, downstream-'*' types after indels (phi paths).
+    Stays within the space the reference handles without aborting."""
+    n = len(seq)
+    if n < 30:
+        return []
+    r = rng.random()
+    if r < 0.06:
+        # erased transcript
+        kind = "start_lost" if rng.random() < 0.5 else "start_lost&splice_region"
+        return [_mk_csq(kind, name, "1M>1K")]
+    csqs = []
+    pos = rng.randint(1, 8)
+    shift = 0
+    had_del = False
+    blocked = False   # a terminating event occurred upstream
+    for k in range(rng.randint(2, 10)):
+        if pos >= n - 8:
+            break
+        ref_res = seq[pos - 1]
+        mpos = pos + shift
+        last = k >= 1 and rng.random() < 0.25
+        star = "*" if (k > 0 and rng.random() < 0.5) else ""
+        if last:
+            t = rng.random()
+            if t < 0.2:
+                csqs.append(_mk_csq(star + "stop_gained", name, f"{pos}{ref_res}>{mpos}*"))
+            elif t < 0.35:
+                payload = "".join(rng.choice(AA) for _ in range(rng.randint(1, 30)))
+                csqs.append(_mk_csq(star + "frameshift", name, f"{pos}{ref_res}>{mpos}{ref_res}{payload}*"))
+            elif t < 0.5:
+                tail = seq[pos - 1:]
+                payload = "".join(rng.choice(AA) for _ in range(rng.randint(1, 10)))
+                csqs.append(_mk_csq("*missense&inframe_altering" if star else "missense&inframe_altering",
+                                    name, f"{pos}{tail[:4]}>{mpos}{payload}"))
+            elif t < 0.65:
+                payload = "".join(rng.choice(AA) for _ in range(rng.randint(2, 8)))
+                csqs.append(_mk_csq(star + "frameshift&stop_retained" if not star else "*frameshift&stop_retained",
+                                    name, f"{pos}{ref_res}>{mpos}{payload}*"))
+            elif t < 0.8:
+                csqs.append(_mk_csq("stop_gained&inframe_altering", name,
+                                    f"{pos}{ref_res}{rng.choice(AA)}>{mpos}*"))
+            elif not had_del:
+                stop = n
+                payload = "".join(rng.choice(AA) for _ in range(rng.randint(1, 6)))
+                csqs.append(_mk_csq("stop_lost", name, f"{stop}*>{stop + shift}{payload}"))
+            else:
+                csqs.append(_mk_csq(star + "stop_gained", name, f"{pos}{ref_res}>{mpos}*"))
+            break
+        t = rng.random()
+        if t < 0.45:
+            new = rng.choice(AA.replace(ref_res, ""))
+            csqs.append(_mk_csq(star + "missense", name, f"{pos}{ref_res}>{mpos}{new}"))
+        elif t < 0.7:
+            ins = "".join(rng.choice(AA) for _ in range(rng.randint(1, 6)))
+            if rng.random() < 0.15:
+                # insertion whose mut side is '*'-terminated: frameshift
+                # escalation + blocks later '*' types
+                csqs.append(_mk_csq(star + "inframe_insertion", name,
+                                    f"{pos}{ref_res}>{mpos}{ref_res}{ins}*"))
+                blocked = True
+                csqs_extra_pos = pos + rng.randint(4, 10)
+                # one downstream '*' mutation that must phi out
+                if csqs_extra_pos < n - 4:
+                    res2 = seq[csqs_extra_pos - 1]
+                    csqs.append(_mk_csq("*missense", name,
+                                        f"{csqs_extra_pos}{res2}>{csqs_extra_pos + shift}K"))
+                break
+            csqs.append(_mk_csq(star + "inframe_insertion", name, f"{pos}{ref_res}>{mpos}{ref_res}{ins}"))
+            shift += len(ins)
+        else:
+            span = rng.randint(2, min(5, n - pos - 2))
+            del_seq = seq[pos - 1: pos - 1 + span]
+            csqs.append(_mk_csq(star + "inframe_deletion", name, f"{pos}{del_seq}>{mpos}{del_seq[0]}"))
+            shift -= span - 1
+            had_del = True
+            pos += span
+        pos += rng.randint(4, 15)
+    return csqs
+
+
+def adversarial_cohort(seed=0, n_samples=8, n_transcripts=12):
+    rng = random.Random(seed)
+    ref = random_proteome(rng, n_transcripts)
+    names = list(ref)
+    samples = {}
+    for s in range(n_samples):
+        haps = []
+        for _h in range(2):
+            csqs = []
+            for name in rng.sample(names, rng.randint(1, len(names))):
+                csqs.extend(adversarial_transcript_mutations(rng, name, ref[name]))
+            haps.append(csqs)
+        samples[f"SAMPLE{s:04d}"] = (haps[0], haps[1])
+    return ref, samples
