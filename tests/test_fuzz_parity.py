@@ -8,6 +8,7 @@ import numpy as np
 import pytest
 
 from genvcf import adversarial_cohort, write_fasta, write_synthetic_vcf
+from vcf2prot_tpu.compiler.qc import QC_OFF
 from vcf2prot_tpu.pipeline import PipelineConfig, run_pipeline
 from vcf2prot_tpu.runtime.engine import Engine
 
@@ -44,7 +45,7 @@ def test_fuzz_three_way(seed, tmp_path):
         run_pipeline(
             PipelineConfig(
                 vcf_path=str(vcf), fasta_path=str(fasta), outdir=str(out),
-                engine=Engine.ST, use_native=native,
+                engine=Engine.ST, use_native=native, qc=QC_OFF,
             )
         )
         outs[tier] = {
