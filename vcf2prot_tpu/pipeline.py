@@ -103,13 +103,26 @@ def execute_programs(programs, blob, engine: Engine,
 
         engine = resolve_auto()
     if engine is Engine.TPU:
+        from collections import deque
+
         from .runtime.tpu_engine import TpuEngine
 
         dev = TpuEngine(blob, validate_on_device=validate_device)
         outputs = [None] * len(programs)
+        # depth-2 pipeline: keep one chunk computing on device while the
+        # previous chunk's result streams back to the host
+        pending = deque()
         for chunk in _chunk_indices(programs, chunk_res_bytes):
-            outs = dev.execute([programs[i] for i in chunk])
-            for i, o in zip(chunk, outs):
+            pending.append(
+                (chunk, dev.dispatch([programs[i] for i in chunk]))
+            )
+            if len(pending) > 1:
+                done_chunk, handle = pending.popleft()
+                for i, o in zip(done_chunk, dev.collect(handle)):
+                    outputs[i] = o
+        while pending:
+            done_chunk, handle = pending.popleft()
+            for i, o in zip(done_chunk, dev.collect(handle)):
                 outputs[i] = o
         return outputs
     if engine is Engine.MT:

@@ -94,10 +94,38 @@ class TpuEngine:
             ]
         return self._execute_packed(packed, programs)
 
+    def dispatch(self, programs):
+        """Pack + launch a chunk without blocking; pair with :meth:`collect`.
+
+        Returns an opaque handle. Device work proceeds asynchronously, so a
+        caller can keep one chunk in flight while fetching the previous one
+        (the fetch is the expensive leg on slow host links).
+        """
+        packed = pack_cohort(programs, self.blob)
+        if not packed.contiguous or packed.total_res == 0:
+            return (packed, None, programs)
+        out_dev = self._launch(packed)
+        return (packed, out_dev, programs)
+
+    def collect(self, handle) -> list:
+        packed, out_dev, programs = handle
+        if out_dev is None:
+            if packed.total_res == 0:
+                return [np.empty(0, dtype=np.uint8) for _ in programs]
+            return [cpu_engine.execute_tasks(p, self.blob) for p in programs]
+        out = np.asarray(out_dev[: packed.total_res])
+        return [out[start:end] for (_, start, end) in packed.spans]
+
     def _execute_packed(self, packed: PackedCohort, programs) -> list:
-        jax, jnp = self._jax, self._jnp
         if packed.total_res == 0:
             return [np.empty(0, dtype=np.uint8) for _ in programs]
+        out_dev = self._launch(packed)
+        out = np.asarray(out_dev[: packed.total_res])
+        return [out[start:end] for (_, start, end) in packed.spans]
+
+    def _launch(self, packed: PackedCohort):
+        """Upload + dispatch one packed chunk; returns the device array."""
+        jax, jnp = self._jax, self._jnp
         if self.validate:
             from .kernels import validate_on_device as _validate
 
@@ -130,12 +158,10 @@ class TpuEngine:
             [self._blob_dev, jax.device_put(alt, self.device)]
         )
         run = self._runner(out_bucket)
-        out_dev = run(
+        # the device-side slice means the later fetch only pays host-link
+        # bandwidth for live bytes, not bucket padding
+        return run(
             combined,
             jax.device_put(dst, self.device),
             jax.device_put(srcb, self.device),
         )
-        # fetch only the live prefix -- the device-side slice avoids paying
-        # host-link bandwidth for bucket padding
-        out = np.asarray(out_dev[: packed.total_res])
-        return [out[start:end] for (_, start, end) in packed.spans]
