@@ -93,6 +93,11 @@ def from_alt_transcript(
         )
     if qc.inspect_ins_gen:
         _inspect_instruction_generation(name, instructions, qc)
+    if qc.debug_txp and qc.debug_txp == name:
+        print(
+            f"[DEBUG_TXP] {name}: mutations {alt_transcript.alts} -> "
+            f"instructions {instructions}"
+        )
     return TranscriptInstruction(name, len(seq), instructions)
 
 
@@ -202,6 +207,8 @@ def get_g_rep(t: TranscriptInstruction, qc: QcConfig = None) -> TranscriptProgra
             tasks.append(task1)
         if task2.exe != 2:
             tasks.append(task2)
+    if qc.debug_txp and qc.debug_txp == t.name:
+        print(f"[DEBUG_TXP] {t.name}: expected size {res_len}, tasks {tasks}")
     if qc.inspect_txp:
         _validate_task_program(t.name, tasks, res_len)
     # Some opcodes leave the result tape under-covered (e.g. 'P' with a

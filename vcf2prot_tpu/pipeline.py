@@ -148,7 +148,9 @@ def run_pipeline(cfg: PipelineConfig) -> PipelineResult:
     # can take the C++ fast path (parse + compile in one native call)
     native_result = None
     need_int_maps = cfg.compute_stats or cfg.write_int_map
-    if cfg.use_native and not need_int_maps and not cfg.resume_int_maps:
+    # the per-transcript DEBUG_TXP trace lives in the Python compiler
+    if (cfg.use_native and not need_int_maps and not cfg.resume_int_maps
+            and not qc.debug_txp):
         from .native_bridge import compile_cohort_native
 
         with timer.stage("Parsing and compiling (native)"):
