@@ -29,6 +29,8 @@
 #include <thread>
 #include <unordered_map>
 #include <vector>
+#include <chrono>
+#include <cstdlib>
 
 namespace {
 
@@ -224,7 +226,7 @@ MutatedString mutated_string(string_view s) {
 
 struct Mutation {
   int type;
-  string transcript;
+  string_view transcript;  // view into the VCF text (alive through compile)
   int64_t ref_pos, mut_pos;  // 0-based (u16-wrapped like the reference)
   MutatedString ref_aa, mut_aa;
 };
@@ -282,7 +284,7 @@ bool parse_mutation(string_view csq, Mutation* m) {
   if (!parse_aa_side(aa_s.substr(0, gt), &rp, &rs)) return false;
   if (!parse_aa_side(aa_s.substr(gt + 1), &mp, &ms)) return false;
   m->type = t;
-  m->transcript = string(transcript_s);
+  m->transcript = transcript_s;
   m->ref_pos = (rp - 1) & 0xFFFF;  // u16 wrap (mutation_ds.rs:137)
   m->mut_pos = (mp - 1) & 0xFFFF;
   try {
@@ -820,9 +822,9 @@ TranscriptProgram compile_transcript(vector<Mutation>& muts, int64_t ref_len,
 // mutation list in sorted-name order, mirroring maps.group_muts_per_transcript
 // (incl. the substring capture when transcript-id lengths differ).
 struct TranscriptGroup {
-  string name;
+  string_view name;
   vector<Mutation> muts;
-  string key;  // concatenated source csq strings (compile-memo key)
+  vector<string_view> csqs;  // source csq strings (compile-memo identity)
 };
 
 void drop_replicate(TranscriptGroup* g) {
@@ -851,66 +853,69 @@ void drop_replicate(TranscriptGroup* g) {
     }
     alts.swap(dedup);
     if (unique_n != alts.size())
-      throw FatalError("Conflicting mutations in transcript " + g->name);
+      throw FatalError("Conflicting mutations in transcript " + string(g->name));
   }
 }
 
 vector<TranscriptGroup> group_by_transcript(const vector<string_view>& csqs) {
-  std::map<string, vector<size_t>> by_name;  // ordered -> sorted output
+  std::unordered_map<string_view, size_t> index_of;
+  vector<TranscriptGroup> groups;
+  vector<size_t> parsed_group(csqs.size(), SIZE_MAX);
   vector<Mutation> parsed(csqs.size());
-  vector<bool> ok(csqs.size(), false);
-  std::unordered_map<size_t, bool> length_set;
   bool multi_len = false;
   size_t first_len = SIZE_MAX;
   for (size_t i = 0; i < csqs.size(); ++i) {
-    if (parse_mutation(csqs[i], &parsed[i])) {
-      ok[i] = true;
-      auto& v = by_name[parsed[i].transcript];
-      v.push_back(i);
-      size_t L = parsed[i].transcript.size();
-      if (first_len == SIZE_MAX)
-        first_len = L;
-      else if (L != first_len)
-        multi_len = true;
+    if (!parse_mutation(csqs[i], &parsed[i])) continue;
+    string_view name = parsed[i].transcript;
+    auto [it, inserted] = index_of.emplace(name, groups.size());
+    if (inserted) {
+      groups.emplace_back();
+      groups.back().name = name;
     }
+    parsed_group[i] = it->second;
+    size_t L = name.size();
+    if (first_len == SIZE_MAX)
+      first_len = L;
+    else if (L != first_len)
+      multi_len = true;
   }
-  vector<TranscriptGroup> out;
-  out.reserve(by_name.size());
-  for (auto& [name, idxs] : by_name) {
-    TranscriptGroup g;
-    g.name = name;
-    bool substr_capture = false;
-    if (multi_len) {
-      for (auto& [other, _] : by_name) {
-        if (other != name && other.find(name) != string::npos) {
-          substr_capture = true;
+  // transcript ids of different lengths can be strict substrings of each
+  // other; only then does the reference's `contains` grouping differ from
+  // exact grouping (vcf_tools.rs:89-92)
+  std::unordered_map<size_t, bool> substr_capture;
+  if (multi_len) {
+    for (auto& [name, gi] : index_of) {
+      for (auto& [other, _] : index_of) {
+        if (other != name && other.find(name) != string_view::npos) {
+          substr_capture[gi] = true;
           break;
         }
       }
     }
-    if (substr_capture) {
-      for (size_t i = 0; i < csqs.size(); ++i) {
-        if (csqs[i].find(name) != string_view::npos) {
-          g.key.append(csqs[i]);
-          g.key.push_back('\x01');
-          if (ok[i]) g.muts.push_back(parsed[i]);
-          else {
-            Mutation m;
-            if (parse_mutation(csqs[i], &m)) g.muts.push_back(std::move(m));
-          }
-        }
-      }
-    } else {
-      for (size_t i : idxs) {
-        g.key.append(csqs[i]);
-        g.key.push_back('\x01');
-        g.muts.push_back(parsed[i]);
+  }
+  for (size_t i = 0; i < csqs.size(); ++i) {
+    size_t gi = parsed_group[i];
+    if (gi == SIZE_MAX) continue;
+    if (substr_capture.count(gi)) continue;  // filled below
+    groups[gi].csqs.push_back(csqs[i]);
+    groups[gi].muts.push_back(std::move(parsed[i]));
+  }
+  for (auto& [gi, _] : substr_capture) {
+    TranscriptGroup& g = groups[gi];
+    for (size_t i = 0; i < csqs.size(); ++i) {
+      if (csqs[i].find(g.name) != string_view::npos) {
+        g.csqs.push_back(csqs[i]);
+        Mutation m;
+        if (parse_mutation(csqs[i], &m)) g.muts.push_back(std::move(m));
       }
     }
-    drop_replicate(&g);
-    out.push_back(std::move(g));
   }
-  return out;
+  std::sort(groups.begin(), groups.end(),
+            [](const TranscriptGroup& a, const TranscriptGroup& b) {
+              return a.name < b.name;
+            });
+  for (auto& g : groups) drop_replicate(&g);
+  return groups;
 }
 
 // -------------------------------------------------------- haplotype fusion ---
@@ -928,47 +933,130 @@ struct HaplotypeOut {
   vector<std::tuple<int64_t, int64_t, int64_t>> ann;  // (name_idx, start, end)
 };
 
+inline uint64_t fnv1a(uint64_t h, string_view s) {
+  for (unsigned char c : s) {
+    h ^= c;
+    h *= 1099511628211ULL;
+  }
+  h ^= 0x1f;  // separator
+  h *= 1099511628211ULL;
+  return h;
+}
+
+struct MemoEntry {
+  string full_key;  // name \x02 csq \x01 csq \x01 ...
+  std::shared_ptr<TranscriptProgram> prog;  // null = cached failure
+};
+
 struct CompileMemo {
   std::mutex mu;
-  std::unordered_map<string, std::shared_ptr<TranscriptProgram>> map;
+  std::unordered_map<uint64_t, vector<MemoEntry>> map;
+  // adaptive shutoff: cohorts whose variant bundles don't repeat (low hit
+  // rate) pay pure overhead for memoization; disable after a trial window
+  std::atomic<uint64_t> lookups{0};
+  std::atomic<uint64_t> hits{0};
+  std::atomic<bool> enabled{true};
+
+  bool use() {
+    if (!enabled.load(std::memory_order_relaxed)) return false;
+    uint64_t n = lookups.load(std::memory_order_relaxed);
+    if (n > 50000 && hits.load(std::memory_order_relaxed) * 20 < n) {
+      enabled.store(false, std::memory_order_relaxed);
+      std::lock_guard<std::mutex> lock(mu);
+      map.clear();
+      return false;
+    }
+    return true;
+  }
 };
+
+uint64_t group_hash(const TranscriptGroup& g) {
+  uint64_t h = 14695981039346656037ULL;
+  h = fnv1a(h, g.name);
+  for (auto c : g.csqs) h = fnv1a(h, c);
+  return h;
+}
+
+string group_full_key(const TranscriptGroup& g) {
+  string key;
+  size_t n = g.name.size() + 1;
+  for (auto c : g.csqs) n += c.size() + 1;
+  key.reserve(n);
+  key.append(g.name);
+  key.push_back('\x02');
+  for (auto c : g.csqs) {
+    key.append(c);
+    key.push_back('\x01');
+  }
+  return key;
+}
+
+bool key_matches(const string& full_key, const TranscriptGroup& g) {
+  size_t pos = 0;
+  auto take = [&](string_view piece, char sep) {
+    if (full_key.size() < pos + piece.size() + 1) return false;
+    if (string_view(full_key).substr(pos, piece.size()) != piece) return false;
+    pos += piece.size();
+    if (full_key[pos] != sep) return false;
+    ++pos;
+    return true;
+  };
+  if (!take(g.name, '\x02')) return false;
+  for (auto c : g.csqs)
+    if (!take(c, '\x01')) return false;
+  return pos == full_key.size();
+}
 
 void compile_haplotype(const vector<string_view>& csqs, const RefTable& table,
                        const QcFlags& qc, CompileMemo* memo, HaplotypeOut* out,
                        vector<string>* warnings) {
+  if (std::getenv("VCF2PROT_NO_MEMO")) memo = nullptr;
   vector<TranscriptGroup> groups = group_by_transcript(csqs);
+  if (std::getenv("VCF2PROT_GROUP_ONLY")) return;
   int64_t alt_counter = 0, res_counter = 0;
   for (auto& g : groups) {
     auto it = table.spans.find(g.name);
     std::shared_ptr<TranscriptProgram> prog;
     if (it == table.spans.end()) {
-      warnings->push_back("transcript " + g.name +
+      warnings->push_back("transcript " + string(g.name) +
                           " is not in the reference sequence; skipped");
       continue;
     }
     auto [ref_off, ref_len, name_idx] = it->second;
-    string memo_key = g.name + "\x02" + g.key;
+    bool memo_on = memo && memo->use();
+    uint64_t h = memo_on ? group_hash(g) : 0;
     bool cached = false;
-    if (memo) {
+    if (memo_on) {
       std::lock_guard<std::mutex> lock(memo->mu);
-      auto mit = memo->map.find(memo_key);
+      auto mit = memo->map.find(h);
       if (mit != memo->map.end()) {
-        prog = mit->second;
-        cached = true;
+        for (auto& entry : mit->second) {
+          if (key_matches(entry.full_key, g)) {
+            prog = entry.prog;
+            cached = true;
+            break;
+          }
+        }
       }
+      memo->lookups.fetch_add(1, std::memory_order_relaxed);
+      if (cached) memo->hits.fetch_add(1, std::memory_order_relaxed);
     }
     if (!cached) {
       try {
         prog = std::make_shared<TranscriptProgram>(
             compile_transcript(g.muts, ref_len, qc));
       } catch (const SkipTranscript& e) {
-        warnings->push_back("transcript " + g.name + ": " + e.what() +
+        warnings->push_back("transcript " + string(g.name) + ": " + e.what() +
                             "; skipped");
         prog = nullptr;
       }
-      if (memo) {
+      if (memo_on) {
         std::lock_guard<std::mutex> lock(memo->mu);
-        memo->map.emplace(std::move(memo_key), prog);
+        auto& bucket = memo->map[h];
+        bool present = false;
+        for (auto& entry : bucket)
+          if (key_matches(entry.full_key, g)) { present = true; break; }
+        if (!present) bucket.push_back(MemoEntry{group_full_key(g), prog});
       }
     }
     if (!prog) {
@@ -1044,6 +1132,15 @@ CohortResult compile_cohort_impl(const string& vcf_text,
                                  const vector<string>& ref_names,
                                  const vector<int64_t>& ref_offsets,
                                  const QcFlags& qc, int n_threads) {
+  const bool timing = std::getenv("VCF2PROT_NATIVE_TIMING") != nullptr;
+  auto tick = std::chrono::steady_clock::now();
+  auto lap = [&](const char* what) {
+    if (!timing) return;
+    auto now = std::chrono::steady_clock::now();
+    fprintf(stderr, "[native] %s: %.3fs\n", what,
+            std::chrono::duration<double>(now - tick).count());
+    tick = now;
+  };
   CohortResult result;
   RefTable table;
   for (size_t i = 0; i < ref_names.size(); ++i)
@@ -1086,6 +1183,7 @@ CohortResult compile_cohort_impl(const string& vcf_text,
   if (n_samples == 0) throw FatalError("no samples found in VCF header");
   if (records.empty())
     throw FatalError("could not extract any records from the provided file");
+  lap("line scan + record filter");
 
   // --- per-record decode into per (sample, hap) csq entry lists, threaded
   // over record chunks and merged in record order so per-haplotype mutation
@@ -1151,6 +1249,7 @@ CohortResult compile_cohort_impl(const string& vcf_text,
       for (auto& t : ts) t.join();
     }
     if (dec_error) std::rethrow_exception(dec_error);
+    lap("sample decode");
     for (size_t h = 0; h < 2 * n_samples; ++h) {
       size_t total = 0;
       for (auto& co : chunk_out) total += co[h].size();
@@ -1192,6 +1291,7 @@ CohortResult compile_cohort_impl(const string& vcf_text,
     for (auto& t : threads) t.join();
   }
   if (first_error) std::rethrow_exception(first_error);
+  lap("haplotype compile");
   for (auto& w : warn_parts)
     result.warnings.insert(result.warnings.end(), w.begin(), w.end());
   return result;
@@ -1218,22 +1318,22 @@ PyObject* py_compile_cohort(PyObject*, PyObject* args, PyObject* kwargs) {
     return nullptr;
 
   vector<string> ref_names;
+  PyObject* names_fast =
+      PySequence_Fast(ref_names_obj, "ref_names must be a sequence");
+  if (!names_fast) return nullptr;
   {
-    PyObject* seq = PySequence_Fast(ref_names_obj, "ref_names must be a sequence");
-    if (!seq) return nullptr;
-    Py_ssize_t n = PySequence_Fast_GET_SIZE(seq);
+    Py_ssize_t n = PySequence_Fast_GET_SIZE(names_fast);
     ref_names.reserve((size_t)n);
     for (Py_ssize_t i = 0; i < n; ++i) {
-      PyObject* item = PySequence_Fast_GET_ITEM(seq, i);
+      PyObject* item = PySequence_Fast_GET_ITEM(names_fast, i);
       Py_ssize_t sz;
       const char* s = PyUnicode_AsUTF8AndSize(item, &sz);
       if (!s) {
-        Py_DECREF(seq);
+        Py_DECREF(names_fast);
         return nullptr;
       }
       ref_names.emplace_back(s, (size_t)sz);
     }
-    Py_DECREF(seq);
   }
   vector<int64_t> ref_offsets;
   {
@@ -1272,6 +1372,7 @@ PyObject* py_compile_cohort(PyObject*, PyObject* args, PyObject* kwargs) {
   }
   Py_END_ALLOW_THREADS;
   if (failed) {
+    Py_DECREF(names_fast);
     PyErr_SetString(PyExc_RuntimeError, err_msg.c_str());
     return nullptr;
   }
@@ -1284,11 +1385,14 @@ PyObject* py_compile_cohort(PyObject*, PyObject* args, PyObject* kwargs) {
   PyObject* haps = PyList_New((Py_ssize_t)result.haps.size());
   for (size_t i = 0; i < result.haps.size(); ++i) {
     HaplotypeOut& h = result.haps[i];
+    // annotation tuples carry the shared name objects directly so the
+    // bridge does no per-record Python work
     PyObject* ann = PyList_New((Py_ssize_t)h.ann.size());
     for (size_t a = 0; a < h.ann.size(); ++a) {
       auto [ni, st, en] = h.ann[a];
+      PyObject* name_obj = PySequence_Fast_GET_ITEM(names_fast, (Py_ssize_t)ni);
       PyList_SET_ITEM(ann, (Py_ssize_t)a,
-                      Py_BuildValue("(LLL)", (long long)ni, (long long)st,
+                      Py_BuildValue("(OLL)", name_obj, (long long)st,
                                     (long long)en));
     }
     PyObject* tup = Py_BuildValue(
@@ -1306,6 +1410,7 @@ PyObject* py_compile_cohort(PyObject*, PyObject* args, PyObject* kwargs) {
     PyList_SET_ITEM(warnings, (Py_ssize_t)i,
                     PyUnicode_FromStringAndSize(result.warnings[i].data(),
                                                 (Py_ssize_t)result.warnings[i].size()));
+  Py_DECREF(names_fast);
   return Py_BuildValue("(NNN)", probands, haps, warnings);
 }
 

@@ -116,7 +116,8 @@ def compile_cohort_native(vcf_path, ref_seqs: dict, blob: RefBlob,
             dst=np.frombuffer(dst_b, dtype=np.int64),
             alt=alt_b,
             res_len=res_len,
-            annotations=[(names[ni], st, en) for (ni, st, en) in ann],
+            # the extension already embeds the shared name objects
+            annotations=ann,
         )
         programs.append(prog)
     return probands, programs, warnings
