@@ -99,9 +99,69 @@ def run_ours(vcf, fasta):
     return dt, res
 
 
+def measure_device_throughput(vcf, fasta):
+    """Warm device-execute throughput (the kernel itself, excluding the
+    host link), reported to stderr for diagnostics."""
+    import numpy as np
+
+    from vcf2prot_tpu.compiler.haplotype import RefBlob
+    from vcf2prot_tpu.compiler.qc import default_qc
+    from vcf2prot_tpu.frontend.fasta import read_fasta
+    from vcf2prot_tpu.native_bridge import compile_cohort_native
+    from vcf2prot_tpu.runtime.pack import pack_cohort, pad_to_bucket
+
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        if jax.devices()[0].platform == "cpu":
+            return
+        ref = read_fasta(fasta)
+        blob = RefBlob.from_ref_seqs(ref)
+        _p, programs, _w = compile_cohort_native(vcf, ref, blob, default_qc())
+        packed = pack_cohort(programs, blob)
+        n = len(packed.dst)
+        tb = pad_to_bucket(n)
+        ob = pad_to_bucket(packed.total_res)
+        dst = np.full(tb, np.iinfo(np.int32).max, np.int32)
+        dst[:n] = packed.dst
+        srcb = np.zeros(tb, np.int32)
+        srcb[:n] = packed.src_biased
+        dev = jax.devices()[0]
+        combined = jnp.concatenate(
+            [jax.device_put(blob.data, dev), jax.device_put(packed.alt, dev)]
+        )
+        dst_d = jax.device_put(dst, dev)
+        srcb_d = jax.device_put(srcb, dev)
+
+        @jax.jit
+        def run(c, d, sb):
+            j = jnp.arange(ob, dtype=jnp.int32)
+            t = jnp.searchsorted(d, j, side="right") - 1
+            g = jnp.clip(sb[t] + j - d[t], 0, c.shape[0] - 1)
+            return jnp.take(c, g)
+
+        run(combined, dst_d, srcb_d).block_until_ready()  # compile
+        reps = 20
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = run(combined, dst_d, srcb_d)
+        out.block_until_ready()
+        dt = (time.perf_counter() - t0) / reps
+        log(
+            f"device execute (kernel only, {packed.total_res / 1e6:.1f} MB "
+            f"result): {dt * 1e3:.3f} ms/iter = "
+            f"{packed.total_res / dt / 1e9:.1f} GB/s output"
+        )
+    except Exception as err:
+        log(f"device throughput probe skipped: {err}")
+
+
 def main():
     os.environ.setdefault("NO_TEST", "1")
     vcf, fasta = prepare_workload()
+    if os.environ.get("BENCH_DEVICE_METRIC", "1") == "1":
+        measure_device_throughput(vcf, fasta)
     ours_dt, res = run_ours(vcf, fasta)
     if os.access(REF_BIN, os.X_OK):
         ref_dt = run_reference(vcf, fasta)

@@ -105,6 +105,15 @@ def execute_programs(programs, blob, engine: Engine,
     if engine is Engine.TPU:
         from collections import deque
 
+        import jax
+
+        if len(jax.devices()) > 1:
+            # multi-chip: one dp-sharded program over all devices
+            from .parallel.mesh import make_mesh
+            from .parallel.sharded import ShardedEngine
+
+            return ShardedEngine(blob, make_mesh()).execute(programs)
+
         from .runtime.tpu_engine import TpuEngine
 
         dev = TpuEngine(blob, validate_on_device=validate_device)

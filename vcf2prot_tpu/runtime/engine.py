@@ -42,11 +42,23 @@ MIN_D2H_BYTES_PER_SEC = 100e6
 
 
 def resolve_auto(sample_bytes: int = 1 << 23, timeout_s: float = 8.0) -> "Engine":
-    """Probe device round-trip bandwidth and pick TPU or MT.
+    """Pick the execution placement for the end-to-end tool.
+
+    For FASTA generation the host engine is the categorical default: every
+    output byte originates host-side (proteome blob + alt tape), the execute
+    stage is a small fraction of the pipeline, and the C++ memcpy engine
+    saturates host memory bandwidth -- so device execution can only add
+    host-link transfer cost. Set ``VCF2PROT_PREFER_DEVICE=1`` to probe the
+    link and use the TPU engine when it is consistently fast (the right
+    choice when downstream consumers are device-resident).
 
     The probe runs under a watchdog: a flaky forwarded link can stall a fetch
     for minutes, and a hung probe must itself count as a failed probe.
     """
+    import os
+
+    if os.environ.get("VCF2PROT_PREFER_DEVICE") != "1":
+        return Engine.MT
     import threading
     import time
 
