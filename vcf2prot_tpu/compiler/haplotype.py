@@ -19,14 +19,9 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from ..runtime.task import Task
 from . import transcript as transcript_mod
 from .qc import QcConfig, default_qc
-from .transcript import (
-    QcPanic,
-    TranscriptCompileError,
-    TranscriptProgram,
-)
+from .transcript import QcPanic, TranscriptCompileError
 
 
 @dataclass

@@ -29,7 +29,7 @@ def _sharded_runner(mesh, out_bucket: int):
     """Build (and cache) the shard_map'd executor for one output bucket."""
     import jax
     import jax.numpy as jnp
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.sharding import PartitionSpec as P
     from jax import shard_map
 
     key = (id(mesh), out_bucket)

@@ -20,7 +20,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ..compiler.haplotype import HaplotypeProgram, RefBlob
+from ..compiler.haplotype import RefBlob
 
 
 def _as_u8(alt) -> np.ndarray:

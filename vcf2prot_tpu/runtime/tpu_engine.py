@@ -19,11 +19,9 @@ padded to power-of-two buckets and sliced exactly on the host.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass
-
 import numpy as np
 
-from ..compiler.haplotype import HaplotypeProgram, RefBlob
+from ..compiler.haplotype import RefBlob
 from . import cpu_engine
 from .pack import PackedCohort, pack_cohort, pad_to_bucket
 
@@ -53,10 +51,6 @@ def _get_jitted():
     _EXECUTE_CACHE["fn"] = build
     return build
 
-
-@dataclass
-class ChunkResult:
-    outputs: list  # np.ndarray per program, aligned with the input order
 
 
 class TpuEngine:
