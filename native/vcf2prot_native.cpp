@@ -31,6 +31,10 @@
 #include <vector>
 #include <chrono>
 #include <cstdlib>
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
 
 namespace {
 
@@ -1128,7 +1132,7 @@ string_view bcsq_payload(string_view info) {
   return info.substr(p + 5);
 }
 
-CohortResult compile_cohort_impl(const string& vcf_text,
+CohortResult compile_cohort_impl(string_view vcf_text,
                                  const vector<string>& ref_names,
                                  const vector<int64_t>& ref_offsets,
                                  const QcFlags& qc, int n_threads) {
@@ -1353,22 +1357,43 @@ PyObject* py_compile_cohort(PyObject*, PyObject* args, PyObject* kwargs) {
   qc.inspect_txp = qc_flags & 2;
   qc.panic_on_err = qc_flags & 4;
 
-  // read the VCF and compile without the GIL
+  // memory-map the VCF and compile without the GIL; mmap keeps working-set
+  // memory O(mutations) instead of O(file) for pod-scale cohort files
   CohortResult result;
   string err_msg;
   bool failed = false;
-  Py_BEGIN_ALLOW_THREADS try {
-    std::ifstream in(vcf_path, std::ios::binary | std::ios::ate);
-    if (!in) throw FatalError(string("could not open ") + vcf_path);
-    std::streamsize size = in.tellg();
-    in.seekg(0);
-    string text((size_t)size, '\0');
-    if (!in.read(text.data(), size))
-      throw FatalError(string("could not read ") + vcf_path);
-    result = compile_cohort_impl(text, ref_names, ref_offsets, qc, n_threads);
-  } catch (const std::exception& e) {
-    err_msg = e.what();
-    failed = true;
+  Py_BEGIN_ALLOW_THREADS {
+    void* mapped = MAP_FAILED;
+    size_t map_len = 0;
+    int fd = -1;
+    try {
+      fd = open(vcf_path, O_RDONLY);
+      if (fd < 0) throw FatalError(string("could not open ") + vcf_path);
+      struct stat st;
+      if (fstat(fd, &st) != 0 || st.st_size < 0)
+        throw FatalError(string("could not stat ") + vcf_path);
+      map_len = (size_t)st.st_size;
+      string_view text;
+      string fallback;
+      if (map_len > 0) {
+        mapped = mmap(nullptr, map_len, PROT_READ, MAP_PRIVATE, fd, 0);
+        if (mapped != MAP_FAILED) {
+          madvise(mapped, map_len, MADV_SEQUENTIAL);
+          text = string_view(static_cast<const char*>(mapped), map_len);
+        } else {
+          std::ifstream in(vcf_path, std::ios::binary);
+          fallback.assign(std::istreambuf_iterator<char>(in),
+                          std::istreambuf_iterator<char>());
+          text = fallback;
+        }
+      }
+      result = compile_cohort_impl(text, ref_names, ref_offsets, qc, n_threads);
+    } catch (const std::exception& e) {
+      err_msg = e.what();
+      failed = true;
+    }
+    if (mapped != MAP_FAILED && map_len > 0) munmap(mapped, map_len);
+    if (fd >= 0) close(fd);
   }
   Py_END_ALLOW_THREADS;
   if (failed) {
@@ -1464,12 +1489,83 @@ PyObject* py_execute_tasks(PyObject*, PyObject* args) {
   return out;
 }
 
+// Write one sample's altered-only FASTA: two haplotype tapes + their
+// (header, start, end) annotation lists -> ">name_1\nseq\n" records
+// (reference: personalized_genome.rs:102-115), formatted and written
+// entirely in C.
+PyObject* py_write_fasta(PyObject*, PyObject* args) {
+  const char* path;
+  Py_buffer tape1, tape2;
+  PyObject* ann1;
+  PyObject* ann2;
+  if (!PyArg_ParseTuple(args, "sy*Oy*O", &path, &tape1, &ann1, &tape2, &ann2))
+    return nullptr;
+  string buf;
+  buf.reserve((size_t)(tape1.len + tape2.len) + 4096);
+  bool ok = true;
+  const char* suffixes[2] = {"_1", "_2"};
+  Py_buffer* tapes[2] = {&tape1, &tape2};
+  PyObject* anns[2] = {ann1, ann2};
+  for (int h = 0; h < 2 && ok; ++h) {
+    PyObject* seq = PySequence_Fast(anns[h], "annotations must be a sequence");
+    if (!seq) { ok = false; break; }
+    const char* tape = static_cast<const char*>(tapes[h]->buf);
+    Py_ssize_t tape_len = tapes[h]->len;
+    Py_ssize_t n = PySequence_Fast_GET_SIZE(seq);
+    for (Py_ssize_t i = 0; i < n; ++i) {
+      PyObject* item = PySequence_Fast_GET_ITEM(seq, i);
+      PyObject* name_obj = PyTuple_GET_ITEM(item, 0);
+      long long st = PyLong_AsLongLong(PyTuple_GET_ITEM(item, 1));
+      long long en = PyLong_AsLongLong(PyTuple_GET_ITEM(item, 2));
+      Py_ssize_t name_len;
+      const char* name = PyUnicode_AsUTF8AndSize(name_obj, &name_len);
+      if (!name || st < 0 || en < st || en > tape_len) {
+        if (!name) PyErr_Clear();
+        PyErr_SetString(PyExc_ValueError, "bad annotation span");
+        ok = false;
+        break;
+      }
+      buf.push_back('>');
+      buf.append(name, (size_t)name_len);
+      buf.append(suffixes[h]);
+      buf.push_back('\n');
+      buf.append(tape + st, (size_t)(en - st));
+      buf.push_back('\n');
+    }
+    Py_DECREF(seq);
+  }
+  bool write_ok = true;
+  if (ok) {
+    Py_BEGIN_ALLOW_THREADS {
+      FILE* f = fopen(path, "wb");
+      if (!f) {
+        write_ok = false;
+      } else {
+        if (fwrite(buf.data(), 1, buf.size(), f) != buf.size())
+          write_ok = false;
+        if (fclose(f) != 0) write_ok = false;
+      }
+    }
+    Py_END_ALLOW_THREADS;
+  }
+  PyBuffer_Release(&tape1);
+  PyBuffer_Release(&tape2);
+  if (!ok) return nullptr;
+  if (!write_ok) {
+    PyErr_Format(PyExc_OSError, "could not write %s", path);
+    return nullptr;
+  }
+  Py_RETURN_NONE;
+}
+
 PyMethodDef methods[] = {
     {"compile_cohort", (PyCFunction)py_compile_cohort,
      METH_VARARGS | METH_KEYWORDS,
      "Parse a bcftools/csq VCF and compile per-haplotype task programs."},
     {"execute_tasks", py_execute_tasks, METH_VARARGS,
      "Execute a haplotype task program into a byte tape."},
+    {"write_fasta", py_write_fasta, METH_VARARGS,
+     "Write one sample's altered-only personalized-proteome FASTA."},
     {nullptr, nullptr, 0, nullptr}};
 
 PyModuleDef module = {PyModuleDef_HEAD_INIT, "vcf2prot_native",

@@ -44,6 +44,16 @@ class PersonalizedProteome:
     def write(self, outdir, write_all=False, write_compressed=False, ref_seqs=None):
         ext = ".fasta.gz" if write_compressed else ".fasta"
         path = os.path.join(outdir, self.proband + ext)
+        if not write_all and not write_compressed:
+            # the common altered-only path formats and writes natively
+            from ..native_bridge import load_native
+
+            native = load_native()
+            if native is not None and hasattr(native, "write_fasta"):
+                native.write_fasta(
+                    path, bytes(self.hap1), self.ann1, bytes(self.hap2), self.ann2
+                )
+                return path
         opener = (
             (lambda p: gzip.open(p, "wt", compresslevel=9))
             if write_compressed
