@@ -72,3 +72,39 @@ def test_record_parity_with_reference_binary(seed, tmp_path):
         assert set(a) == set(b), f"{f}: header sets differ"
         for k in a:
             assert a[k] == b[k], f"{f}:{k}: sequence mismatch"
+
+
+def test_write_all_parity_with_reference_binary(tmp_path):
+    """-a mode: altered records plus unaltered reference records per
+    haplotype (personalized_genome.rs:120-210)."""
+    ref, samples = random_cohort(seed=17, n_samples=3, n_transcripts=8)
+    vcf = tmp_path / "cohort.vcf"
+    fasta = tmp_path / "ref.fasta"
+    write_synthetic_vcf(str(vcf), ref, samples)
+    write_fasta(str(fasta), ref)
+    ref_out = tmp_path / "ref_out"
+    our_out = tmp_path / "our_out"
+    ref_out.mkdir()
+    our_out.mkdir()
+    subprocess.run(
+        [REF_BIN, "-f", str(vcf), "-r", str(fasta), "-o", str(ref_out),
+         "-g", "mt", "-a"],
+        check=True,
+        env=dict(os.environ, NO_TEST="1"),
+        capture_output=True,
+    )
+    run_pipeline(
+        PipelineConfig(
+            vcf_path=str(vcf),
+            fasta_path=str(fasta),
+            outdir=str(our_out),
+            engine=Engine.MT,
+            write_all=True,
+        )
+    )
+    for f in sorted(os.listdir(ref_out)):
+        a = read_fasta_records(ref_out / f)
+        b = read_fasta_records(our_out / f)
+        assert set(a) == set(b), f"{f}: header sets differ"
+        for k in a:
+            assert a[k] == b[k], f"{f}:{k}: sequence mismatch"
