@@ -39,8 +39,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "-g",
         "--engine",
-        default="tpu",
-        help="execution engine: st, mt or tpu (default tpu; gpu = tpu alias)",
+        default="auto",
+        help=(
+            "execution engine: st, mt, tpu or auto (default auto; "
+            "gpu = tpu alias)"
+        ),
     )
     p.add_argument("-v", "--verbose", action="store_true")
     p.add_argument("-s", "--stats", action="store_true")
@@ -56,6 +59,12 @@ def build_parser() -> argparse.ArgumentParser:
         default="",
         metavar="DIR",
         help="resume from an int_maps/ checkpoint directory (skips -f parsing)",
+    )
+    p.add_argument(
+        "--profile",
+        default="",
+        metavar="DIR",
+        help="write a JAX profiler trace of the execute stage to DIR",
     )
     p.add_argument(
         "--no-native",
@@ -102,6 +111,7 @@ def main(argv=None) -> int:
         qc=default_qc(),
         use_native=not args.no_native,
         resume_int_maps=args.resume_int_maps,
+        profile_dir=args.profile,
     )
     try:
         result = run_pipeline(cfg)

@@ -8,6 +8,7 @@ execution stage dispatched to the host oracle (st/mt) or the TPU engine.
 from __future__ import annotations
 
 import os
+import sys
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
@@ -56,6 +57,8 @@ class PipelineConfig:
     resume_int_maps: str = ""
     # restrict to a subset of sample indices (multi-host shard assignment)
     sample_indices: list = None
+    # write a JAX profiler trace of the execute stage to this directory
+    profile_dir: str = ""
 
 
 @dataclass
@@ -169,8 +172,21 @@ def run_pipeline(cfg: PipelineConfig) -> PipelineResult:
 
     if native_result is not None:
         probands, flat, warnings = native_result
+        # per-transcript skip warnings repeat across carriers; cap the spam
+        seen = set()
+        shown = 0
         for w in warnings:
-            print(w, file=__import__("sys").stderr)
+            if w in seen:
+                continue
+            seen.add(w)
+            if shown < 20:
+                print(w, file=sys.stderr)
+                shown += 1
+        if len(seen) > shown:
+            print(
+                f"... and {len(seen) - shown} more distinct transcript "
+                "warnings", file=sys.stderr,
+            )
         proband_names = probands
         if cfg.sample_indices is not None:
             keep = set(cfg.sample_indices)
@@ -220,10 +236,13 @@ def run_pipeline(cfg: PipelineConfig) -> PipelineResult:
                 flat.append(pp.hap2)
 
     with timer.stage("Generating personalized genomes (execute)"):
-        outputs = execute_programs(
-            flat, blob, cfg.engine, cfg.chunk_res_bytes,
-            validate_device=qc.debug_device_exec,
-        )
+        from .utils.timers import jax_trace
+
+        with jax_trace(cfg.profile_dir or None):
+            outputs = execute_programs(
+                flat, blob, cfg.engine, cfg.chunk_res_bytes,
+                validate_device=qc.debug_device_exec,
+            )
 
     with timer.stage("Assembling proteomes"):
         for i, name in enumerate(proband_names):
