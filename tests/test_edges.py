@@ -35,8 +35,9 @@ def test_gzipped_inputs(tmp_path):
     out_gz = tmp_path / "g"
     out_plain.mkdir()
     out_gz.mkdir()
+    # native path must handle gz inputs too (transparent decompression)
     run_pipeline(PipelineConfig(str(vcf_plain), str(fasta_plain), str(out_plain), Engine.ST, use_native=False))
-    run_pipeline(PipelineConfig(str(vcf_gz), str(fasta_gz), str(out_gz), Engine.ST, use_native=False))
+    run_pipeline(PipelineConfig(str(vcf_gz), str(fasta_gz), str(out_gz), Engine.ST, use_native=True))
     for f in os.listdir(out_plain):
         assert (out_plain / f).read_bytes() == (out_gz / f).read_bytes()
 
