@@ -935,6 +935,11 @@ struct HaplotypeOut {
   string alt;
   int64_t res_len = 0;
   vector<std::tuple<int64_t, int64_t, int64_t>> ann;  // (name_idx, start, end)
+  // stats block (the -s subsystem; reference: summary.rs:10-117):
+  // grouped transcripts per haplotype (post-dedup), their names, and the
+  // 22-dim per-type mutation count vector
+  vector<string> group_names;
+  uint64_t type_counts[NUM_TYPES] = {0};
 };
 
 inline uint64_t fnv1a(uint64_t h, string_view s) {
@@ -1013,9 +1018,16 @@ bool key_matches(const string& full_key, const TranscriptGroup& g) {
 
 void compile_haplotype(const vector<string_view>& csqs, const RefTable& table,
                        const QcFlags& qc, CompileMemo* memo, HaplotypeOut* out,
-                       vector<string>* warnings) {
+                       vector<string>* warnings, bool collect_stats) {
   if (std::getenv("VCF2PROT_NO_MEMO")) memo = nullptr;
   vector<TranscriptGroup> groups = group_by_transcript(csqs);
+  if (collect_stats) {
+    out->group_names.reserve(groups.size());
+    for (auto& g : groups) {
+      out->group_names.emplace_back(g.name);
+      for (auto& m : g.muts) out->type_counts[m.type] += 1;
+    }
+  }
   if (std::getenv("VCF2PROT_GROUP_ONLY")) return;
   int64_t alt_counter = 0, res_counter = 0;
   for (auto& g : groups) {
@@ -1135,7 +1147,8 @@ string_view bcsq_payload(string_view info) {
 CohortResult compile_cohort_impl(string_view vcf_text,
                                  const vector<string>& ref_names,
                                  const vector<int64_t>& ref_offsets,
-                                 const QcFlags& qc, int n_threads) {
+                                 const QcFlags& qc, int n_threads,
+                                 bool collect_stats) {
   const bool timing = std::getenv("VCF2PROT_NATIVE_TIMING") != nullptr;
   auto tick = std::chrono::steady_clock::now();
   auto lap = [&](const char* what) {
@@ -1278,7 +1291,7 @@ CohortResult compile_cohort_impl(string_view vcf_text,
       if (i >= result.haps.size()) return;
       try {
         compile_haplotype(hap_csqs[i], table, qc, &memo, &result.haps[i],
-                          &warn_parts[i]);
+                          &warn_parts[i], collect_stats);
       } catch (...) {
         std::lock_guard<std::mutex> lock(err_mu);
         if (!first_error) first_error = std::current_exception();
@@ -1310,15 +1323,18 @@ PyObject* bytes_from(const void* data, size_t n) {
 
 PyObject* py_compile_cohort(PyObject*, PyObject* args, PyObject* kwargs) {
   static const char* kwlist[] = {"vcf_path",   "ref_names", "ref_offsets",
-                                 "qc_flags",   "n_threads", nullptr};
+                                 "qc_flags",   "n_threads", "collect_stats",
+                                 nullptr};
   const char* vcf_path = nullptr;
   PyObject* ref_names_obj = nullptr;
   PyObject* ref_offsets_obj = nullptr;  // bytes of int64[n+1]
   int qc_flags = 7;
   int n_threads = 0;
+  int collect_stats = 0;
   if (!PyArg_ParseTupleAndKeywords(
-          args, kwargs, "sOO|ii", const_cast<char**>(kwlist), &vcf_path,
-          &ref_names_obj, &ref_offsets_obj, &qc_flags, &n_threads))
+          args, kwargs, "sOO|iii", const_cast<char**>(kwlist), &vcf_path,
+          &ref_names_obj, &ref_offsets_obj, &qc_flags, &n_threads,
+          &collect_stats))
     return nullptr;
 
   vector<string> ref_names;
@@ -1387,7 +1403,8 @@ PyObject* py_compile_cohort(PyObject*, PyObject* args, PyObject* kwargs) {
           text = fallback;
         }
       }
-      result = compile_cohort_impl(text, ref_names, ref_offsets, qc, n_threads);
+      result = compile_cohort_impl(text, ref_names, ref_offsets, qc, n_threads,
+                                   collect_stats != 0);
     } catch (const std::exception& e) {
       err_msg = e.what();
       failed = true;
@@ -1420,14 +1437,31 @@ PyObject* py_compile_cohort(PyObject*, PyObject* args, PyObject* kwargs) {
                       Py_BuildValue("(OLL)", name_obj, (long long)st,
                                     (long long)en));
     }
+    PyObject* stats;
+    if (collect_stats) {
+      PyObject* gnames = PyList_New((Py_ssize_t)h.group_names.size());
+      for (size_t g = 0; g < h.group_names.size(); ++g)
+        PyList_SET_ITEM(
+            gnames, (Py_ssize_t)g,
+            PyUnicode_FromStringAndSize(h.group_names[g].data(),
+                                        (Py_ssize_t)h.group_names[g].size()));
+      PyObject* counts = PyList_New(NUM_TYPES);
+      for (int t = 0; t < NUM_TYPES; ++t)
+        PyList_SET_ITEM(counts, t,
+                        PyLong_FromUnsignedLongLong(h.type_counts[t]));
+      stats = Py_BuildValue("(NN)", gnames, counts);
+    } else {
+      stats = Py_None;
+      Py_INCREF(stats);
+    }
     PyObject* tup = Py_BuildValue(
-        "(NNNNNLN)",
+        "(NNNNNLNN)",
         bytes_from(h.exe.data(), h.exe.size()),
         bytes_from(h.src.data(), h.src.size() * sizeof(int64_t)),
         bytes_from(h.len.data(), h.len.size() * sizeof(int64_t)),
         bytes_from(h.dst.data(), h.dst.size() * sizeof(int64_t)),
         bytes_from(h.alt.data(), h.alt.size()),
-        (long long)h.res_len, ann);
+        (long long)h.res_len, ann, stats);
     PyList_SET_ITEM(haps, (Py_ssize_t)i, tup);
   }
   PyObject* warnings = PyList_New((Py_ssize_t)result.warnings.size());

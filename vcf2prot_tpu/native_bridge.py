@@ -90,11 +90,13 @@ def qc_to_flags(qc: QcConfig) -> int:
 
 
 def compile_cohort_native(vcf_path, ref_seqs: dict, blob: RefBlob,
-                          qc: QcConfig, n_threads: int = 0):
+                          qc: QcConfig, n_threads: int = 0,
+                          collect_stats: bool = False):
     """Full native parse+compile.
 
-    Returns ``(probands, [HaplotypeProgram x 2*n_samples], warnings)`` or
-    ``None`` when the native module is unavailable.
+    Returns ``(probands, [HaplotypeProgram x 2*n_samples], warnings)`` --
+    plus a stats block per haplotype when ``collect_stats`` -- or ``None``
+    when the native module is unavailable.
     """
     native = load_native()
     if native is None:
@@ -123,12 +125,15 @@ def compile_cohort_native(vcf_path, ref_seqs: dict, blob: RefBlob,
         probands, haps, warnings = native.compile_cohort(
             path, names, offsets.tobytes(),
             qc_flags=qc_to_flags(qc), n_threads=n_threads,
+            collect_stats=1 if collect_stats else 0,
         )
     finally:
         if tmp_plain is not None:
             os.unlink(tmp_plain)
     programs = []
-    for exe_b, src_b, len_b, dst_b, alt_b, res_len, ann in haps:
+    stats_blocks = []
+    for exe_b, src_b, len_b, dst_b, alt_b, res_len, ann, stats in haps:
+        stats_blocks.append(stats)
         prog = HaplotypeProgram(
             exe=np.frombuffer(exe_b, dtype=np.uint8),
             src=np.frombuffer(src_b, dtype=np.int64),
@@ -140,4 +145,6 @@ def compile_cohort_native(vcf_path, ref_seqs: dict, blob: RefBlob,
             annotations=ann,
         )
         programs.append(prog)
+    if collect_stats:
+        return probands, programs, warnings, stats_blocks
     return probands, programs, warnings

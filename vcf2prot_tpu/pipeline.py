@@ -156,22 +156,37 @@ def run_pipeline(cfg: PipelineConfig) -> PipelineResult:
         ref_seqs = fasta.read_fasta(cfg.fasta_path)
         blob = RefBlob.from_ref_seqs(ref_seqs)
 
-    # stats / int-map dumps need the Python intermediate maps; everything else
-    # can take the C++ fast path (parse + compile in one native call)
+    # int-map dumps need the Python intermediate maps; stats come from the
+    # native compiler's stats blocks; the DEBUG_TXP trace lives in the
+    # Python compiler
     native_result = None
-    need_int_maps = cfg.compute_stats or cfg.write_int_map
-    # the per-transcript DEBUG_TXP trace lives in the Python compiler
+    need_int_maps = cfg.write_int_map
     if (cfg.use_native and not need_int_maps and not cfg.resume_int_maps
             and not qc.debug_txp):
         from .native_bridge import compile_cohort_native
 
         with timer.stage("Parsing and compiling (native)"):
             native_result = compile_cohort_native(
-                cfg.vcf_path, ref_seqs, blob, qc, cfg.num_threads
+                cfg.vcf_path, ref_seqs, blob, qc, cfg.num_threads,
+                collect_stats=cfg.compute_stats,
             )
 
     if native_result is not None:
-        probands, flat, warnings = native_result
+        if cfg.compute_stats:
+            probands, flat, warnings, stats_blocks = native_result
+            from .stats.native_stats import stats_from_native
+
+            with timer.stage("Computing and writing the stats"):
+                per_proband, per_type, per_transcript = stats_from_native(
+                    probands, stats_blocks
+                )
+                write_num_mutation_per_proband(cfg.outdir, per_proband)
+                write_type_mutations_per_patient(cfg.outdir, per_type)
+                write_number_of_mutations_per_transcript(
+                    cfg.outdir, per_transcript
+                )
+        else:
+            probands, flat, warnings = native_result
         # per-transcript skip warnings repeat across carriers; cap the spam
         seen = set()
         shown = 0
