@@ -91,3 +91,26 @@ def test_native_translation_cases(tmp_path):
     assert len(out) == 721
     assert out[668] == "N"
     assert programs[1].res_len == 0
+
+
+def test_native_stats_match_python_stats(tmp_path):
+    """The native stats blocks must reproduce the Python stats engine."""
+    from genvcf import write_fasta, write_synthetic_vcf
+    from vcf2prot_tpu.native_bridge import compile_cohort_native
+    from vcf2prot_tpu.stats.native_stats import stats_from_native
+    from vcf2prot_tpu.stats.summary import compute_stats
+
+    ref, samples = random_cohort(seed=31, n_samples=5, n_transcripts=9)
+    vcf = tmp_path / "c.vcf"
+    fasta = tmp_path / "r.fasta"
+    write_synthetic_vcf(str(vcf), ref, samples)
+    write_fasta(str(fasta), ref)
+    blob = RefBlob.from_ref_seqs(ref)
+    nat = compile_cohort_native(str(vcf), ref, blob, QC, collect_stats=True)
+    probands, _programs, _warnings, blocks = nat
+    n_pp, n_pt, n_tc = stats_from_native(probands, blocks)
+    int_maps = parse_vcf_to_int_maps(str(vcf))
+    p_pp, p_pt, p_tc = compute_stats(int_maps)
+    assert n_pp == p_pp
+    assert n_pt == p_pt
+    assert n_tc == p_tc

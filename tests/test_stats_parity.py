@@ -83,31 +83,3 @@ def test_stats_match_reference(tmp_path):
     tb, rb = parse_type_tsv(our_out / "type_of_mutations_per_patient.tsv")
     assert ta == tb
     assert ra == rb
-
-
-def test_native_stats_match_python_stats(tmp_path):
-    """The native stats blocks must reproduce the Python stats engine."""
-    from vcf2prot_tpu.compiler.haplotype import RefBlob
-    from vcf2prot_tpu.compiler.qc import QcConfig
-    from vcf2prot_tpu.native_bridge import compile_cohort_native, load_native
-    from vcf2prot_tpu.pipeline import parse_vcf_to_int_maps
-    from vcf2prot_tpu.stats.native_stats import stats_from_native
-    from vcf2prot_tpu.stats.summary import compute_stats
-
-    if load_native() is None:
-        pytest.skip("native module unavailable")
-    ref, samples = random_cohort(seed=31, n_samples=5, n_transcripts=9)
-    vcf = tmp_path / "c.vcf"
-    fasta = tmp_path / "r.fasta"
-    write_synthetic_vcf(str(vcf), ref, samples)
-    write_fasta(str(fasta), ref)
-    blob = RefBlob.from_ref_seqs(ref)
-    qc = QcConfig()
-    nat = compile_cohort_native(str(vcf), ref, blob, qc, collect_stats=True)
-    probands, _programs, _warnings, blocks = nat
-    n_pp, n_pt, n_tc = stats_from_native(probands, blocks)
-    int_maps = parse_vcf_to_int_maps(str(vcf))
-    p_pp, p_pt, p_tc = compute_stats(int_maps)
-    assert n_pp == p_pp
-    assert n_pt == p_pt
-    assert n_tc == p_tc

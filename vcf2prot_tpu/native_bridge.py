@@ -131,9 +131,10 @@ def compile_cohort_native(vcf_path, ref_seqs: dict, blob: RefBlob,
         if tmp_plain is not None:
             os.unlink(tmp_plain)
     programs = []
-    stats_blocks = []
+    stats_blocks = [] if collect_stats else None
     for exe_b, src_b, len_b, dst_b, alt_b, res_len, ann, stats in haps:
-        stats_blocks.append(stats)
+        if collect_stats:
+            stats_blocks.append(stats)
         prog = HaplotypeProgram(
             exe=np.frombuffer(exe_b, dtype=np.uint8),
             src=np.frombuffer(src_b, dtype=np.int64),

@@ -147,6 +147,13 @@ def execute_programs(programs, blob, engine: Engine,
     return [cpu_engine.execute_tasks(p, blob) for p in programs]
 
 
+def _write_stats_tables(outdir, per_proband, per_type, per_transcript):
+    """The three -s TSVs (shared by the native and Python stats paths)."""
+    write_num_mutation_per_proband(outdir, per_proband)
+    write_type_mutations_per_patient(outdir, per_type)
+    write_number_of_mutations_per_transcript(outdir, per_transcript)
+
+
 def run_pipeline(cfg: PipelineConfig) -> PipelineResult:
     timer = StageTimer(cfg.verbose)
     qc = cfg.qc if cfg.qc is not None else default_qc()
@@ -172,19 +179,9 @@ def run_pipeline(cfg: PipelineConfig) -> PipelineResult:
             )
 
     if native_result is not None:
+        stats_blocks = None
         if cfg.compute_stats:
             probands, flat, warnings, stats_blocks = native_result
-            from .stats.native_stats import stats_from_native
-
-            with timer.stage("Computing and writing the stats"):
-                per_proband, per_type, per_transcript = stats_from_native(
-                    probands, stats_blocks
-                )
-                write_num_mutation_per_proband(cfg.outdir, per_proband)
-                write_type_mutations_per_patient(cfg.outdir, per_type)
-                write_number_of_mutations_per_transcript(
-                    cfg.outdir, per_transcript
-                )
         else:
             probands, flat, warnings = native_result
         # per-transcript skip warnings repeat across carriers; cap the spam
@@ -212,6 +209,20 @@ def run_pipeline(cfg: PipelineConfig) -> PipelineResult:
                 if i in keep
                 for h in (flat[2 * i], flat[2 * i + 1])
             ]
+            if stats_blocks is not None:
+                stats_blocks = [
+                    b
+                    for i in range(len(probands))
+                    if i in keep
+                    for b in (stats_blocks[2 * i], stats_blocks[2 * i + 1])
+                ]
+        if stats_blocks is not None:
+            from .stats.native_stats import stats_from_native
+
+            with timer.stage("Computing and writing the stats"):
+                _write_stats_tables(
+                    cfg.outdir, *stats_from_native(proband_names, stats_blocks)
+                )
     else:
         if cfg.resume_int_maps:
             from .io.checkpoint import read_intmap_json
@@ -231,12 +242,7 @@ def run_pipeline(cfg: PipelineConfig) -> PipelineResult:
 
         if cfg.compute_stats:
             with timer.stage("Computing and writing the stats"):
-                per_proband, per_type, per_transcript = compute_stats(int_maps)
-                write_num_mutation_per_proband(cfg.outdir, per_proband)
-                write_type_mutations_per_patient(cfg.outdir, per_type)
-                write_number_of_mutations_per_transcript(
-                    cfg.outdir, per_transcript
-                )
+                _write_stats_tables(cfg.outdir, *compute_stats(int_maps))
 
         with timer.stage("Generating personalized genomes (compile)"):
             compile_cache: dict = {}

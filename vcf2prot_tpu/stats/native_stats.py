@@ -7,8 +7,6 @@ table counts carrying (sample, haplotype) pairs.
 """
 from __future__ import annotations
 
-from ..constants import SUP_TYPE
-
 
 def stats_from_native(probands, stats_blocks):
     per_proband = {}
