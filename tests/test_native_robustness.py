@@ -1,0 +1,113 @@
+"""Native-module robustness: malformed, truncated, and hostile inputs must
+raise clean errors (or be skipped) -- never crash the interpreter."""
+import random
+
+import pytest
+
+from vcf2prot_tpu.compiler.haplotype import RefBlob
+from vcf2prot_tpu.compiler.qc import QC_OFF, QcConfig
+from vcf2prot_tpu.native_bridge import compile_cohort_native, load_native
+
+pytestmark = pytest.mark.skipif(
+    load_native() is None, reason="native module unavailable"
+)
+
+REF = {"ENST00000000001": "M" + "ACDEFGHIKLMNPQRSTVWY" * 4}
+BLOB = RefBlob.from_ref_seqs(REF)
+
+HEADER = "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1"
+
+
+def run_native(tmp_path, body_lines, qc=QC_OFF):
+    vcf = tmp_path / "x.vcf"
+    vcf.write_text("\n".join([HEADER, *body_lines]) + "\n")
+    return compile_cohort_native(str(vcf), REF, BLOB, qc)
+
+
+def test_bitmask_index_out_of_range(tmp_path):
+    # mask selects entry 3 but only one consequence is present
+    line = (
+        "1\t1\tv\tA\tT\t9\tPASS\t"
+        "BCSQ=missense|G|ENST00000000001|protein_coding|+|5C>5K|1A>1T"
+        "\tGT:BCSQ\t0|1:64"
+    )
+    with pytest.raises(RuntimeError, match="out of range"):
+        run_native(tmp_path, [line])
+
+
+def test_negative_mask_aborts(tmp_path):
+    line = (
+        "1\t1\tv\tA\tT\t9\tPASS\t"
+        "BCSQ=missense|G|ENST00000000001|protein_coding|+|5C>5K|1A>1T"
+        "\tGT:BCSQ\t0|1:-5"
+    )
+    with pytest.raises(RuntimeError, match="invalid bit mask"):
+        run_native(tmp_path, [line])
+
+
+def test_truncated_record_lines(tmp_path):
+    lines = [
+        "1\t1",                       # too few fields
+        "1\t1\tv\tA\tT\t9\tPASS",    # no INFO column
+        "",                           # blank
+        (
+            "1\t2\tv\tA\tT\t9\tPASS\t"
+            "BCSQ=missense|G|ENST00000000001|protein_coding|+|5C>5K|1A>1T"
+            "\tGT:BCSQ\t0|1:1"
+        ),
+    ]
+    probands, programs, _w = run_native(tmp_path, lines)
+    assert probands == ["S1"]
+    assert programs[0].res_len > 0
+
+
+def test_random_garbage_lines(tmp_path):
+    rng = random.Random(0)
+    printable = (
+        "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+        "0123456789|,;:>*&\t."
+    )
+    good = (
+        "1\t2\tv\tA\tT\t9\tPASS\t"
+        "BCSQ=missense|G|ENST00000000001|protein_coding|+|5C>5K|1A>1T"
+        "\tGT:BCSQ\t0|1:1"
+    )
+    for trial in range(30):
+        garbage = [
+            "".join(rng.choice(printable) for _ in range(rng.randint(1, 200)))
+            for _ in range(5)
+        ]
+        try:
+            probands, programs, _w = run_native(
+                tmp_path, garbage + [good], qc=QC_OFF
+            )
+            assert probands == ["S1"]
+        except RuntimeError:
+            pass  # clean error is acceptable; a crash is not
+
+
+def test_huge_positions_dropped(tmp_path):
+    # position overflows u16: mutation silently dropped, transcript skipped
+    line = (
+        "1\t1\tv\tA\tT\t9\tPASS\t"
+        "BCSQ=missense|G|ENST00000000001|protein_coding|+|99999999C>99999999K|1A>1T"
+        "\tGT:BCSQ\t0|1:1"
+    )
+    # the record is supported (6 pipes, known type) but the mutation is
+    # dropped at parse time (u16 overflow), so the haplotype compiles empty
+    probands, programs, _w = run_native(tmp_path, [line])
+    assert probands == ["S1"]
+    assert programs[0].res_len == 0
+    assert programs[1].res_len == 0
+
+
+def test_empty_vcf(tmp_path):
+    vcf = tmp_path / "empty.vcf"
+    vcf.write_text("")
+    with pytest.raises(RuntimeError):
+        compile_cohort_native(str(vcf), REF, BLOB, QcConfig())
+
+
+def test_missing_file(tmp_path):
+    with pytest.raises(RuntimeError, match="could not open"):
+        compile_cohort_native(str(tmp_path / "nope.vcf"), REF, BLOB, QC_OFF)

@@ -115,7 +115,7 @@ def main(argv=None) -> int:
     )
     try:
         result = run_pipeline(cfg)
-    except (RuntimeError, ValueError, OSError) as err:
+    except (RuntimeError, ValueError, OSError, IndexError) as err:
         sys.exit(f"error: {err}")
     if args.verbose:
         print(
