@@ -11,8 +11,12 @@
 // Exposed as a CPython extension (no pybind11): one entry point,
 // compile_cohort(...), returning per-haplotype SoA arrays as bytes objects.
 
+// Building with -DVCF2PROT_NO_PYTHON yields a pure-C++ core (no Python.h,
+// no bindings) for standalone sanitizer/unit harnesses (native/test_harness).
+#ifndef VCF2PROT_NO_PYTHON
 #define PY_SSIZE_T_CLEAN
 #include <Python.h>
+#endif
 
 #include <algorithm>
 #include <atomic>
@@ -1314,6 +1318,7 @@ CohortResult compile_cohort_impl(string_view vcf_text,
   return result;
 }
 
+#ifndef VCF2PROT_NO_PYTHON
 // ------------------------------------------------------- CPython binding ---
 
 PyObject* bytes_from(const void* data, size_t n) {
@@ -1605,6 +1610,10 @@ PyMethodDef methods[] = {
 PyModuleDef module = {PyModuleDef_HEAD_INIT, "vcf2prot_native",
                       "native frontend + compiler", -1, methods};
 
+#endif  // VCF2PROT_NO_PYTHON
+
 }  // namespace
 
+#ifndef VCF2PROT_NO_PYTHON
 PyMODINIT_FUNC PyInit_vcf2prot_native(void) { return PyModule_Create(&module); }
+#endif  // VCF2PROT_NO_PYTHON

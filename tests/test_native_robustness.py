@@ -111,3 +111,45 @@ def test_empty_vcf(tmp_path):
 def test_missing_file(tmp_path):
     with pytest.raises(RuntimeError, match="could not open"):
         compile_cohort_native(str(tmp_path / "nope.vcf"), REF, BLOB, QC_OFF)
+
+
+def test_sanitizer_harness(tmp_path):
+    """Build the pure-C++ core under ASan+UBSan and run a cohort + fuzz sweep
+    through it natively (no Python interceptor artifacts)."""
+    import shutil
+    import subprocess
+
+    if shutil.which("g++") is None:
+        pytest.skip("g++ unavailable")
+    root = __import__("os").path.dirname(
+        __import__("os").path.dirname(__import__("os").path.abspath(__file__))
+    )
+    harness = tmp_path / "harness"
+    build = subprocess.run(
+        [
+            "g++", "-O1", "-g", "-fsanitize=address,undefined",
+            "-DVCF2PROT_NO_PYTHON", "-std=c++17",
+            f"-I{root}/native", f"{root}/native/test_harness.cpp",
+            "-o", str(harness),
+        ],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert build.returncode == 0, build.stderr[-1500:]
+
+    from genvcf import random_cohort, write_fasta, write_synthetic_vcf
+
+    ref, samples = random_cohort(3, 4, 8)
+    write_synthetic_vcf(str(tmp_path / "c.vcf"), ref, samples)
+    write_fasta(str(tmp_path / "r.fasta"), ref)
+    run = subprocess.run(
+        [str(harness), str(tmp_path / "c.vcf"), str(tmp_path / "r.fasta")],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert run.returncode == 0, run.stderr[-1500:]
+    assert "cohort ok" in run.stdout
+    fuzz = subprocess.run(
+        [str(harness), "--fuzz", "11", "100"],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert fuzz.returncode == 0, fuzz.stderr[-1500:]
+    assert "0 crashes" in fuzz.stdout
