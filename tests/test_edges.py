@@ -156,3 +156,62 @@ def test_native_and_python_agree_on_substring_grouping(tmp_path):
             f: (out / f).read_bytes() for f in os.listdir(out)
         }
     assert outs[True] == outs[False]
+
+
+def test_short_form_start_lost_through_record_flow(tmp_path):
+    """Short-form start_lost (4 fields, no AA change) fails the 6-pipe record
+    filter alone, but rides along when another supported entry shares the
+    record; it then synthesizes '1M>1*' and erases its transcript
+    (text_parser.rs:43-49). All tiers must agree."""
+    ref = {
+        "ENST00000000001": "M" + "A" * 50,
+        "ENST00000000002": "M" + "C" * 50,
+    }
+    entries = ",".join(
+        [
+            "missense|G|ENST00000000001|protein_coding|+|5A>5K|1A>1T",
+            "start_lost|G|ENST00000000002|protein_coding",
+        ]
+    )
+    vcf = tmp_path / "s.vcf"
+    vcf.write_text(
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\n"
+        f"1\t1\tv1\tA\tT\t9\tPASS\tBCSQ={entries}\tGT:BCSQ\t0|1:5\n"
+    )
+    fa = tmp_path / "s.fasta"
+    write_fasta(str(fa), ref)
+    outs = {}
+    for native in (True, False):
+        out = tmp_path / f"sl{native}"
+        out.mkdir()
+        run_pipeline(
+            PipelineConfig(str(vcf), str(fa), str(out), Engine.ST, use_native=native)
+        )
+        outs[native] = (out / "S1.fasta").read_text()
+    assert outs[True] == outs[False]
+    # the erased transcript appears as an empty record on hap1
+    assert ">ENST00000000002_1\n\n" in outs[True]
+    assert ">ENST00000000001_1\n" in outs[True]
+    # reference binary agrees
+    import os as _os
+    import subprocess as _sp
+
+    ref_bin = "/root/reference/bins/Linux/vcf2prot"
+    if _os.access(ref_bin, _os.X_OK):
+        rb_out = tmp_path / "rb"
+        rb_out.mkdir()
+        _sp.run(
+            [ref_bin, "-f", str(vcf), "-r", str(fa), "-o", str(rb_out), "-g", "st"],
+            check=True, env=dict(_os.environ, NO_TEST="1"), capture_output=True,
+        )
+        def recs(text):
+            d = {}
+            h = None
+            for line in text.splitlines():
+                if line.startswith(">"):
+                    h = line[1:]
+                    d[h] = ""
+                elif h is not None:
+                    d[h] += line
+            return d
+        assert recs((rb_out / "S1.fasta").read_text()) == recs(outs[True])

@@ -1,0 +1,111 @@
+"""Device-resident downstream consumer: peptide-window enumeration.
+
+Personalized proteomes exist to feed immunopeptidomics pipelines: enumerate
+candidate MHC-presented peptides (k-mers, typically 8-11 residues) over each
+personalized protein and rank the *neoantigen candidates* -- the peptides that
+overlap a mutated residue. The reference stops at FASTA files on disk; this
+module is why the TPU execution path is load-bearing: the executed haplotype
+tape never leaves HBM, and the window tensors it produces are shaped for an
+MXU-based peptide model (one-hot @ embedding).
+
+All functions are jit-compatible with static shapes:
+
+* ``peptide_windows``          -- every k-mer of a haplotype tape that does
+  not span a transcript boundary;
+* ``mutated_window_mask``      -- which windows overlap >= 1 alt-sourced byte
+  (the neoantigen-candidate filter), computed from the task program itself
+  via a prefix sum -- no re-alignment against the reference needed;
+* ``encode_windows``           -- uint8 residues -> one-hot bf16, ready for
+  ``windows_onehot @ embedding`` on the MXU.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+# canonical residue alphabet for one-hot encoding (index 20 = other/'.')
+ALPHABET = "ACDEFGHIKLMNPQRSTVWY"
+
+
+def _alphabet_lut() -> np.ndarray:
+    lut = np.full(256, 20, dtype=np.int32)
+    for i, c in enumerate(ALPHABET):
+        lut[ord(c)] = i
+    return lut
+
+
+def valid_window_starts(annotations, tape_len: int, k: int) -> np.ndarray:
+    """Boolean mask over tape positions: True where a k-mer starting there
+    lies entirely inside one transcript's span."""
+    mask = np.zeros(tape_len, dtype=bool)
+    for _name, start, end in annotations:
+        if end - start >= k:
+            mask[start:end - k + 1] = True
+    return mask
+
+
+def alt_byte_mask(prog, tape_len: int) -> np.ndarray:
+    """Boolean mask of result-tape bytes sourced from the alt stream (i.e.
+    mutated residues), straight from the task program's exe==1 spans."""
+    mask = np.zeros(tape_len, dtype=bool)
+    for exe, length, dst in zip(prog.exe, prog.length, prog.dst):
+        if exe == 1 and length > 0:
+            mask[dst:dst + length] = True
+    return mask
+
+
+def peptide_windows(tape, starts_mask, k: int):
+    """All valid k-mer windows of a tape as a device array.
+
+    ``tape`` uint8[n] (host or device), ``starts_mask`` bool[n]. Returns
+    ``(windows u8[m, k], starts i32[m])`` where m is the number of valid
+    starts -- note m is data-dependent, so this runs un-jitted at the
+    boundary; the returned tensors have static shapes downstream.
+    """
+    import jax.numpy as jnp
+
+    starts = np.nonzero(starts_mask)[0].astype(np.int32)
+    tape_d = jnp.asarray(tape)
+    starts_d = jnp.asarray(starts)
+    idx = starts_d[:, None] + jnp.arange(k, dtype=jnp.int32)[None, :]
+    return jnp.take(tape_d, idx), starts_d
+
+
+def mutated_window_mask(alt_mask: np.ndarray, starts: np.ndarray, k: int):
+    """True for windows overlapping at least one mutated byte (prefix-sum
+    range query)."""
+    import jax.numpy as jnp
+
+    cum = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(jnp.asarray(alt_mask, jnp.int32))]
+    )
+    s = jnp.asarray(starts)
+    return (cum[s + k] - cum[s]) > 0
+
+
+def encode_windows(windows):
+    """uint8 residue windows -> one-hot bfloat16 [m, k, 21] for MXU matmuls."""
+    import jax
+    import jax.numpy as jnp
+
+    lut = jnp.asarray(_alphabet_lut())
+    ids = jnp.take(lut, windows.astype(jnp.int32))
+    return jax.nn.one_hot(ids, 21, dtype=jnp.bfloat16)
+
+
+def neoantigen_candidates(prog, tape, k: int = 9):
+    """The end-to-end device query: all k-mers of a haplotype tape that
+    contain at least one mutated residue, plus their start offsets.
+
+    Returns ``(windows u8[m, k], starts i32[m])`` with m = number of
+    mutation-overlapping windows. The tape and all intermediates stay on
+    device; only the boolean masks are host-derived from the (host-resident)
+    task program.
+    """
+    import numpy as np
+
+    starts_mask = valid_window_starts(prog.annotations, prog.res_len, k)
+    windows, starts = peptide_windows(tape, starts_mask, k)
+    alt = alt_byte_mask(prog, prog.res_len)
+    mutated = np.asarray(mutated_window_mask(alt, np.asarray(starts), k))
+    keep = np.nonzero(mutated)[0]
+    return windows[keep], starts[keep]
