@@ -67,9 +67,6 @@ def test_native_matches_python_path(seed, tmp_path):
 
 def test_native_translation_cases(tmp_path):
     """The MAD1L1 translation fixtures through the native path end-to-end."""
-    import sys
-
-    sys.path.insert(0, str(tmp_path))
     from fixtures import MAD1L1_FULL
 
     ref = {"ENST00000406869": MAD1L1_FULL}
