@@ -1234,8 +1234,10 @@ CohortResult compile_cohort_impl(string_view vcf_text,
           string_view csq = bcsq_payload(fields[7]);
           bool entries_split = false;
           vector<int> supported;
+          if (fields.size() < 9 + n_samples)
+            throw FatalError(
+                "truncated VCF record: fewer sample columns than samples");
           for (size_t s = 0; s < n_samples; ++s) {
-            if (9 + s >= fields.size()) break;
             decode_sample_field(fields[9 + s], &mi);
             if (!mi.carrier) continue;
             if (!entries_split) {

@@ -153,3 +153,33 @@ def test_sanitizer_harness(tmp_path):
     )
     assert fuzz.returncode == 0, fuzz.stderr[-1500:]
     assert "0 crashes" in fuzz.stdout
+
+
+def test_truncated_sample_columns_abort_both_tiers(tmp_path):
+    """A supported record with missing sample columns aborts identically in
+    the native and Python tiers (silent misalignment is never acceptable)."""
+    from genvcf import write_fasta
+    from vcf2prot_tpu.pipeline import PipelineConfig, run_pipeline
+    from vcf2prot_tpu.runtime.engine import Engine
+
+    ref = {"ENST00000000001": "M" + "A" * 40}
+    hdr2 = HEADER + "\tS2"
+    good = (
+        "1\t2\tv\tA\tT\t9\tPASS\t"
+        "BCSQ=missense|G|ENST00000000001|protein_coding|+|5A>5K|1A>1T"
+        "\tGT:BCSQ\t0|1:1"  # S2 column missing
+    )
+    vcf = tmp_path / "t.vcf"
+    vcf.write_text("\n".join([hdr2, good]) + "\n")
+    fa = tmp_path / "t.fasta"
+    write_fasta(str(fa), ref)
+    for native in (True, False):
+        out = tmp_path / f"o{native}"
+        out.mkdir()
+        with pytest.raises(Exception) as err:
+            run_pipeline(
+                PipelineConfig(
+                    str(vcf), str(fa), str(out), Engine.ST, use_native=native
+                )
+            )
+        assert "truncated" in str(err.value)

@@ -83,8 +83,10 @@ def test_debug_txp_traces(overlap_cohort):
         {"NO_TEST": "1", "DEBUG_TXP": "ENST00000000001"},
         cwd,
     )
-    # NO_TEST clears QC but DEBUG_TXP tracing is independent of checks
+    # NO_TEST clears QC but DEBUG_TXP tracing survives it, like the
+    # reference (cli.rs:272-334 never clears DEBUG_TXP)
     assert proc.returncode == 0
+    assert "[DEBUG_TXP] ENST00000000001" in proc.stdout
 
 
 def test_default_qc_resolution(monkeypatch):

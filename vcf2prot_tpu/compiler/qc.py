@@ -45,7 +45,12 @@ def default_qc() -> QcConfig:
     """Resolve the QC configuration from the environment, with the reference's
     defaulting rules."""
     if "NO_TEST" in os.environ:
-        return QC_OFF
+        # NO_TEST clears every check but the reference never clears DEBUG_TXP
+        # (cli.rs:272-334 removes only the five check flags)
+        return QcConfig(
+            False, False, False, False,
+            os.environ.get("DEBUG_TXP", ""), False,
+        )
     if "RUN_SELECTED_TEST" in os.environ:
         return QcConfig(
             inspect_ins_gen="INSPECT_INS_GEN" in os.environ,

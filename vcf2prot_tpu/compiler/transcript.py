@@ -280,15 +280,15 @@ def _to_task(ins, idx, instructions, alt, tasks, ref_len):
     elif code in ("L", "W"):
         ins_task = _task_stop_lost(ins, alt, tasks)
     elif code in ("I", "J"):
-        ins_task = _task_insertion(ins, alt, tasks)
+        ins_task = _task_append_before(ins, alt, tasks, True)
     elif code in ("D", "C"):
-        ins_task = _task_deletion(ins, alt, tasks)
+        ins_task = _task_append_before(ins, alt, tasks, False)
     elif code in ("Q", "Z", "P"):
         ins_task = NULL_TASK
     elif code == "2":
-        ins_task = _task_replace_2(ins, alt, tasks)
+        ins_task = _task_append_before(ins, alt, tasks, True)
     elif code == "3":
-        ins_task = _task_replace_3(ins, alt, tasks)
+        ins_task = _task_append_before(ins, alt, tasks, False)
     else:
         raise TranscriptCompileError(f"instruction {ins} is not supported")
 
@@ -337,32 +337,14 @@ def _task_stop_lost(ins, alt, tasks) -> Task:
     return Task(1, pos_alt, len(ins.data), dst)
 
 
-def _task_insertion(ins, alt, tasks) -> Task:
+def _task_append_before(ins, alt, tasks, use_length) -> Task:
+    """Append-payload-then-point task: insertions/deletions/replaces differ
+    only in whether the copy length is the instruction length or the payload
+    length (transcript_instructions.rs:739-781)."""
     pos_alt = alt.size
     dst = _next_dst(tasks)
     alt.append(ins.data)
-    return Task(1, pos_alt, ins.length, dst)
-
-
-def _task_deletion(ins, alt, tasks) -> Task:
-    pos_alt = alt.size
-    dst = _next_dst(tasks)
-    alt.append(ins.data)
-    return Task(1, pos_alt, len(ins.data), dst)
-
-
-def _task_replace_2(ins, alt, tasks) -> Task:
-    pos_alt = alt.size
-    dst = _next_dst(tasks)
-    alt.append(ins.data)
-    return Task(1, pos_alt, ins.length, dst)
-
-
-def _task_replace_3(ins, alt, tasks) -> Task:
-    pos_alt = alt.size
-    dst = _next_dst(tasks)
-    alt.append(ins.data)
-    return Task(1, pos_alt, len(ins.data), dst)
+    return Task(1, pos_alt, ins.length if use_length else len(ins.data), dst)
 
 
 def _add_till_next(ins, idx, instructions, last_task, ref_len) -> Task:

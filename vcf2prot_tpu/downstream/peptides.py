@@ -44,12 +44,20 @@ def valid_window_starts(annotations, tape_len: int, k: int) -> np.ndarray:
 
 
 def alt_byte_mask(prog, tape_len: int) -> np.ndarray:
-    """Boolean mask of result-tape bytes sourced from the alt stream (i.e.
-    mutated residues), straight from the task program's exe==1 spans."""
+    """Boolean mask of result-tape bytes carrying mutated residues, straight
+    from the task program's exe==1 spans.
+
+    Compiler '.' filler spans (under-covering opcodes expose the reference's
+    prefill; transcript.py get_g_rep) are alt-sourced but are NOT mutations --
+    they are excluded by checking the actual alt bytes.
+    """
     mask = np.zeros(tape_len, dtype=bool)
-    for exe, length, dst in zip(prog.exe, prog.length, prog.dst):
+    alt = prog.alt if isinstance(prog.alt, bytes) else prog.alt.encode("ascii")
+    alt_arr = np.frombuffer(alt, dtype=np.uint8)
+    dot = ord(".")
+    for exe, src, length, dst in zip(prog.exe, prog.src, prog.length, prog.dst):
         if exe == 1 and length > 0:
-            mask[dst:dst + length] = True
+            mask[dst:dst + length] = alt_arr[src:src + length] != dot
     return mask
 
 

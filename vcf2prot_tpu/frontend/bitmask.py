@@ -13,6 +13,16 @@ multiple words with a +15 entry stride per word.
 from __future__ import annotations
 
 from ..constants import DEF_CONSEQ
+from .text_parser import InvalidBitMaskError, _parse_int_strict
+
+
+def _parse_u32_word(w: str) -> int:
+    """Multi-word masks parse as u32 in the reference (MaskDecoder.rs:47);
+    a failing parse aborts there (unwrap), so it aborts here too."""
+    v = _parse_int_strict(w)
+    if v is None or v < 0 or v > 0xFFFFFFFF:
+        raise InvalidBitMaskError(f"unparseable bitmask word: {w}")
+    return v
 
 
 def decode_bitmask(mask: str):
@@ -26,7 +36,7 @@ def decode_bitmask(mask: str):
     if mask.endswith("$"):
         words = [int(mask[:-1])]
     else:
-        words = [int(w) for w in mask.split(",")]
+        words = [_parse_u32_word(w) for w in mask.split(",")]
     hap1: list = []
     hap2: list = []
     field_base = 0

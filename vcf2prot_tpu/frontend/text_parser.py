@@ -93,15 +93,29 @@ def parse_amino_acid_field(field: str):
     return ref_pos, ref_seq, mut_pos, mut_seq
 
 
+def _parse_int_strict(field: str):
+    """Rust-style integer parse: optional sign + ASCII digits only.
+
+    Python's ``int()`` accepts underscores, unicode digits and surrounding
+    whitespace; the reference's ``parse::<i32>()`` does not, and parity
+    depends on rejecting exactly what it rejects.
+    """
+    if not field:
+        return None
+    body = field[1:] if field[0] in "+-" else field
+    if not body or not all("0" <= c <= "9" for c in body):
+        return None
+    return int(field)
+
+
 def parse_fields(field: str) -> str:
     """Scalar bitmask normalization: ``"3"`` -> ``"3$"``; unparseable -> ``""``.
 
     Negative masks abort: they indicate an outdated bcftools/csq (see
     https://github.com/samtools/bcftools/commit/1f1e7667).
     """
-    try:
-        value = int(field)
-    except ValueError:
+    value = _parse_int_strict(field)
+    if value is None:
         return DEF_CONSEQ
     if not -(1 << 31) <= value < (1 << 31):
         # the reference parses scalar masks as i32 (text_parser.rs:207);

@@ -141,6 +141,10 @@ def build_early_maps(vcf: VcfFile, num_threads: int = 0) -> list:
     def decode_records(records, haps1, haps2):
         for line in records:
             fields = line.split("\t")
+            if len(fields) < 9 + n:
+                raise VcfFormatError(
+                    "truncated VCF record: fewer sample columns than samples"
+                )
             csq = fields[7].split("BCSQ=")[1]
             entries = None
             supported = None

@@ -12,12 +12,18 @@ import numpy as np
 
 
 def make_mesh(n_devices: int = 0):
-    """A 1-D ``dp`` mesh over the first ``n_devices`` devices (all by
-    default)."""
+    """A 1-D ``dp`` mesh over this host's LOCAL devices (first ``n_devices``
+    of them when given).
+
+    Multi-host runs shard the *sample* axis across hosts (round-robin,
+    parallel/multihost.py) and each host executes its shard on its own local
+    mesh -- a global mesh would require distributed arrays for data every
+    host only holds locally.
+    """
     import jax
     from jax.sharding import Mesh
 
-    devices = jax.devices()
+    devices = jax.local_devices()
     if n_devices:
         devices = devices[:n_devices]
     return Mesh(np.array(devices), ("dp",))

@@ -32,14 +32,14 @@ def _sharded_runner(mesh, out_bucket: int):
     from jax.sharding import PartitionSpec as P
     from jax import shard_map
 
-    key = (id(mesh), out_bucket)
+    key = (tuple(d.id for d in mesh.devices.flat), out_bucket)  # dtype joins via retrace
     if key in _FN_CACHE:
         return _FN_CACHE[key]
 
     def per_shard(blob, alt, dst, srcb):
         # leading dp axis of size 1 inside the shard
         combined = jnp.concatenate([blob, alt[0]])
-        j = jnp.arange(out_bucket, dtype=jnp.int32)
+        j = jnp.arange(out_bucket, dtype=dst.dtype)
         t = jnp.searchsorted(dst[0], j, side="right") - 1
         gidx = jnp.clip(srcb[0][t] + j - dst[0][t], 0, combined.shape[0] - 1)
         return jnp.take(combined, gidx)[None, :]
@@ -90,9 +90,14 @@ class ShardedEngine:
         task_bucket = pad_to_bucket(max(max((len(p.dst) for p in packed)), 1))
         out_bucket = pad_to_bucket(max(max((p.total_res for p in packed)), 1))
         alt_bucket = pad_to_bucket(max(max((len(p.alt) for p in packed)), 1))
+        idx_dtype = (
+            np.int64
+            if any(p.dst.dtype == np.int64 for p in packed)
+            else np.int32
+        )
         D = n_shards
-        dst = np.full((D, task_bucket), np.iinfo(np.int32).max, dtype=np.int32)
-        srcb = np.zeros((D, task_bucket), dtype=np.int32)
+        dst = np.full((D, task_bucket), np.iinfo(idx_dtype).max, dtype=idx_dtype)
+        srcb = np.zeros((D, task_bucket), dtype=idx_dtype)
         alt = np.zeros((D, alt_bucket), dtype=np.uint8)
         for d, p in enumerate(packed):
             dst[d, : len(p.dst)] = p.dst

@@ -96,11 +96,33 @@ def _chunk_indices(programs, chunk_res_bytes):
     return chunks
 
 
+def _validate_host_programs(programs):
+    """Pre-execution contiguity validation of each task stream -- the
+    reference's DEBUG_CPU_EXEC check (gir.rs:203-229)."""
+    import numpy as np
+
+    for idx, p in enumerate(programs):
+        if p.n_tasks == 0:
+            continue
+        ends = p.dst + p.length
+        if (
+            int(p.dst[0]) != 0
+            or not np.all(p.dst[1:] == ends[:-1])
+            or int(ends[-1]) != p.res_len
+        ):
+            raise AssertionError(
+                f"DEBUG_CPU_EXEC: task stream of haplotype {idx} is not "
+                "contiguous with its result tape"
+            )
+
+
 def execute_programs(programs, blob, engine: Engine,
                      chunk_res_bytes=DEFAULT_CHUNK_RES_BYTES,
-                     validate_device=False):
+                     validate_device=False, validate_host=False):
     """Execute haplotype programs with the selected engine; returns one uint8
     array per program."""
+    if validate_host:
+        _validate_host_programs(programs)
     if engine is Engine.AUTO:
         from .runtime.engine import resolve_auto
 
@@ -110,8 +132,10 @@ def execute_programs(programs, blob, engine: Engine,
 
         import jax
 
-        if len(jax.devices()) > 1:
-            # multi-chip: one dp-sharded program over all devices
+        if jax.local_device_count() > 1:
+            # multi-chip within this host: one dp-sharded program over the
+            # local devices (cross-host parallelism is sample sharding,
+            # parallel/multihost.py)
             from .parallel.mesh import make_mesh
             from .parallel.sharded import ShardedEngine
 
@@ -263,6 +287,7 @@ def run_pipeline(cfg: PipelineConfig) -> PipelineResult:
             outputs = execute_programs(
                 flat, blob, cfg.engine, cfg.chunk_res_bytes,
                 validate_device=qc.debug_device_exec,
+                validate_host=qc.debug_cpu_exec,
             )
 
     with timer.stage("Assembling proteomes"):

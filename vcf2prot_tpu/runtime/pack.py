@@ -84,9 +84,15 @@ def pack_cohort(programs, blob: RefBlob) -> PackedCohort:
             and int(ends[-1]) == res_counter
         )
     )
+    # int32 indices are preferred on TPU but only safe below 2 GiB of result
+    # tape / combined tape; very large chunks keep int64
+    max_index = max(
+        res_counter, len(blob.data) + alt_counter, 1
+    )
+    idx_dtype = np.int32 if max_index < (1 << 31) else np.int64
     return PackedCohort(
-        src_biased.astype(np.int32),
-        dst.astype(np.int32),
+        src_biased.astype(idx_dtype),
+        dst.astype(idx_dtype),
         alt,
         res_counter,
         spans,

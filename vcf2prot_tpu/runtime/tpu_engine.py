@@ -40,7 +40,7 @@ def _get_jitted():
     def build(out_size: int):
         @jax.jit
         def run(combined, dst, src_biased):
-            j = jnp.arange(out_size, dtype=jnp.int32)
+            j = jnp.arange(out_size, dtype=dst.dtype)
             t = jnp.searchsorted(dst, j, side="right") - 1
             gidx = src_biased[t] + j - dst[t]
             gidx = jnp.clip(gidx, 0, combined.shape[0] - 1)
@@ -137,14 +137,15 @@ class TpuEngine:
                     "invariant violations"
                 )
         n_tasks = len(packed.dst)
+        idx_dtype = packed.dst.dtype
         task_bucket = pad_to_bucket(n_tasks)
         out_bucket = pad_to_bucket(packed.total_res)
         alt_bucket = pad_to_bucket(max(len(packed.alt), 1))
         # pad task arrays: pad tasks start past the real tape end so
         # searchsorted never selects them for real output positions
-        dst = np.full(task_bucket, np.iinfo(np.int32).max, dtype=np.int32)
+        dst = np.full(task_bucket, np.iinfo(idx_dtype).max, dtype=idx_dtype)
         dst[:n_tasks] = packed.dst
-        srcb = np.zeros(task_bucket, dtype=np.int32)
+        srcb = np.zeros(task_bucket, dtype=idx_dtype)
         srcb[:n_tasks] = packed.src_biased
         alt = np.zeros(alt_bucket, dtype=np.uint8)
         alt[: len(packed.alt)] = packed.alt
