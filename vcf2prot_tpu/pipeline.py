@@ -79,18 +79,25 @@ def parse_vcf_to_int_maps(vcf_path, num_threads=0):
     return [build_int_map_from_early(e) for e in early]
 
 
-def _chunk_indices(programs, chunk_res_bytes):
-    """Greedy chunking of haplotype programs by result size."""
+def _chunk_indices(programs, chunk_res_bytes, pair_aligned=False):
+    """Greedy chunking of haplotype programs by result size.
+
+    ``pair_aligned`` keeps (hap1, hap2) pairs in the same chunk so whole
+    samples complete chunk-by-chunk (needed for streaming writes).
+    """
+    step = 2 if pair_aligned else 1
     chunks = []
     cur = []
     cur_bytes = 0
-    for i, p in enumerate(programs):
-        if cur and cur_bytes + p.res_len > chunk_res_bytes:
+    for i in range(0, len(programs), step):
+        group = list(range(i, min(i + step, len(programs))))
+        size = sum(programs[g].res_len for g in group)
+        if cur and cur_bytes + size > chunk_res_bytes:
             chunks.append(cur)
             cur = []
             cur_bytes = 0
-        cur.append(i)
-        cur_bytes += p.res_len
+        cur.extend(group)
+        cur_bytes += size
     if cur:
         chunks.append(cur)
     return chunks
@@ -280,40 +287,107 @@ def run_pipeline(cfg: PipelineConfig) -> PipelineResult:
                 flat.append(pp.hap1)
                 flat.append(pp.hap2)
 
-    with timer.stage("Generating personalized genomes (execute)"):
-        from .utils.timers import jax_trace
+    engine = cfg.engine
+    if engine is Engine.AUTO:
+        from .runtime.engine import resolve_auto
 
-        with jax_trace(cfg.profile_dir or None):
-            outputs = execute_programs(
-                flat, blob, cfg.engine, cfg.chunk_res_bytes,
-                validate_device=qc.debug_device_exec,
-                validate_host=qc.debug_cpu_exec,
-            )
+        engine = resolve_auto()
+    if qc.debug_cpu_exec:
+        _validate_host_programs(flat)
 
-    with timer.stage("Assembling proteomes"):
-        for i, name in enumerate(proband_names):
-            hap1, hap2 = flat[2 * i], flat[2 * i + 1]
-            h1, h2 = outputs[2 * i], outputs[2 * i + 1]
-            result.proteomes.append(
-                PersonalizedProteome(
-                    name, h1, hap1.annotations, h2, hap2.annotations
-                )
-            )
-            result.n_haplotype_seqs += len(hap1.annotations) + len(
-                hap2.annotations
-            )
-            result.total_output_bytes += h1.size + h2.size
-
-    with timer.stage("Write the generated results"):
-        threads = 0 if cfg.single_thread_writes else (cfg.num_threads or os.cpu_count())
-        write_personalized_proteomes(
-            result.proteomes,
+    def finish_sample(i, h1, h2):
+        hap1, hap2 = flat[2 * i], flat[2 * i + 1]
+        proteome = PersonalizedProteome(
+            proband_names[i], h1, hap1.annotations, h2, hap2.annotations
+        )
+        proteome.write(
             cfg.outdir,
             write_all=cfg.write_all,
             write_compressed=cfg.write_compressed,
             ref_seqs=ref_seqs,
-            num_threads=threads,
         )
+        return (
+            len(hap1.annotations) + len(hap2.annotations),
+            h1.size + h2.size,
+        )
+
+    def account(stats):
+        for n_seqs, n_bytes in stats:
+            result.n_haplotype_seqs += n_seqs
+            result.total_output_bytes += n_bytes
+
+    with timer.stage("Generating and writing personalized genomes"):
+        from .utils.timers import jax_trace
+
+        with jax_trace(cfg.profile_dir or None):
+            if engine is Engine.TPU:
+                # device path: chunked, sample-pair-aligned execution with
+                # per-chunk streaming writes; one chunk computes on device
+                # while the previous chunk's samples are written, so host
+                # memory stays bounded by the chunk size
+                from collections import deque
+
+                import jax
+
+                if jax.local_device_count() > 1:
+                    from .parallel.mesh import make_mesh
+                    from .parallel.sharded import ShardedEngine
+
+                    outputs = ShardedEngine(blob, make_mesh()).execute(flat)
+                    account(
+                        finish_sample(i, outputs[2 * i], outputs[2 * i + 1])
+                        for i in range(len(proband_names))
+                    )
+                else:
+                    from .runtime.tpu_engine import TpuEngine
+
+                    dev = TpuEngine(
+                        blob, validate_on_device=qc.debug_device_exec
+                    )
+
+                    def write_chunk(chunk, handle):
+                        outs = dev.collect(handle)
+                        for j in range(0, len(chunk), 2):
+                            account(
+                                [
+                                    finish_sample(
+                                        chunk[j] // 2, outs[j], outs[j + 1]
+                                    )
+                                ]
+                            )
+
+                    pending = deque()
+                    for chunk in _chunk_indices(
+                        flat, cfg.chunk_res_bytes, pair_aligned=True
+                    ):
+                        pending.append(
+                            (chunk, dev.dispatch([flat[i] for i in chunk]))
+                        )
+                        if len(pending) > 1:
+                            write_chunk(*pending.popleft())
+                    while pending:
+                        write_chunk(*pending.popleft())
+            else:
+                # host path: fused execute+write per sample, streamed through
+                # a thread pool -- tapes never accumulate
+                def one_sample(i):
+                    run = (
+                        cpu_engine.execute_tasks_fast
+                        if engine is Engine.MT
+                        else cpu_engine.execute_tasks
+                    )
+                    h1 = run(flat[2 * i], blob)
+                    h2 = run(flat[2 * i + 1], blob)
+                    return finish_sample(i, h1, h2)
+
+                indices = range(len(proband_names))
+                if engine is Engine.MT and not cfg.single_thread_writes:
+                    with ThreadPoolExecutor(
+                        max_workers=cfg.num_threads or os.cpu_count()
+                    ) as pool:
+                        account(pool.map(one_sample, indices))
+                else:
+                    account(map(one_sample, indices))
 
     result.n_samples = len(proband_names)
     result.durations = dict(timer.durations)
