@@ -141,3 +141,25 @@ def test_cli_end_to_end(cohort, tmp_path):
     )
     assert rc == 0
     assert any(f.endswith(".fasta") for f in os.listdir(outdir))
+
+
+def test_execute_programs_library_api(cohort):
+    """execute_programs is the library-level batch API (arrays, not files)."""
+    import numpy as np
+
+    from vcf2prot_tpu.compiler.haplotype import RefBlob
+    from vcf2prot_tpu.compiler.qc import QcConfig
+    from vcf2prot_tpu.native_bridge import compile_cohort_native
+    from vcf2prot_tpu.pipeline import execute_programs
+    from vcf2prot_tpu.frontend.fasta import read_fasta
+
+    ref, samples, vcf_path, fasta_path = cohort
+    ref_seqs = read_fasta(fasta_path)
+    blob = RefBlob.from_ref_seqs(ref_seqs)
+    _p, programs, _w = compile_cohort_native(
+        vcf_path, ref_seqs, blob, QcConfig()
+    )
+    st = execute_programs(programs, blob, Engine.ST)
+    tpu = execute_programs(programs, blob, Engine.TPU, validate_host=True)
+    for a, b in zip(st, tpu):
+        np.testing.assert_array_equal(a, b)

@@ -22,7 +22,6 @@ from .io.writers import (
     write_intmap2json,
     write_num_mutation_per_proband,
     write_number_of_mutations_per_transcript,
-    write_personalized_proteomes,
     write_type_mutations_per_patient,
 )
 from .runtime import cpu_engine
