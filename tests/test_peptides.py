@@ -71,3 +71,34 @@ def test_encode_windows_shapes():
     assert str(onehot.dtype) == "bfloat16"
     s = np.asarray(onehot.sum(-1), dtype=np.float32)
     assert np.all(s == 1.0)
+
+
+def test_score_and_rank():
+    from vcf2prot_tpu.downstream import scoring
+
+    prog, tape = build_case(seed=9)
+    windows, starts, scores = scoring.rank_neoantigen_candidates(
+        prog, tape, k=9, top=10
+    )
+    assert windows.shape[0] == starts.shape[0] == scores.shape[0] <= 10
+    s = np.asarray(scores)
+    assert np.all(np.diff(s) <= 1e-6)  # descending
+    # deterministic across calls
+    _w2, _s2, scores2 = scoring.rank_neoantigen_candidates(
+        prog, tape, k=9, top=10
+    )
+    np.testing.assert_allclose(s, np.asarray(scores2), rtol=0, atol=0)
+
+
+def test_scoring_is_jittable():
+    import jax
+
+    from vcf2prot_tpu.downstream import scoring
+
+    prog, tape = build_case(seed=12)
+    windows, _ = peptides.neoantigen_candidates(prog, tape, 9)
+    params = scoring.init_params(9)
+    jitted = jax.jit(scoring.score_windows)
+    a = np.asarray(jitted(windows, params))
+    b = np.asarray(scoring.score_windows(windows, params))
+    np.testing.assert_allclose(a, b, rtol=1e-5)

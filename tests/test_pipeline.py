@@ -163,3 +163,20 @@ def test_execute_programs_library_api(cohort):
     tpu = execute_programs(programs, blob, Engine.TPU, validate_host=True)
     for a, b in zip(st, tpu):
         np.testing.assert_array_equal(a, b)
+
+
+def test_profile_flag_writes_trace(cohort, tmp_path):
+    ref, samples, vcf_path, fasta_path = cohort
+    outdir = tmp_path / "prof_out"
+    outdir.mkdir()
+    trace_dir = tmp_path / "trace"
+    cfg = PipelineConfig(
+        vcf_path=vcf_path,
+        fasta_path=fasta_path,
+        outdir=str(outdir),
+        engine=Engine.TPU,
+        profile_dir=str(trace_dir),
+    )
+    run_pipeline(cfg)
+    assert trace_dir.is_dir()
+    assert any(trace_dir.rglob("*"))

@@ -1,0 +1,80 @@
+"""Peptide scoring head: an MXU-shaped model scaffold over peptide windows.
+
+A deliberately small, production-shaped architecture for ranking neoantigen
+candidate peptides: one-hot residues -> per-position embedding -> flatten ->
+dense(relu) -> dense(1). Everything is bf16 on the MXU with fp32 accumulation
+(``preferred_element_type``), jit-compiled, and batched over windows -- the
+shape a real MHC-presentation predictor takes on TPU.
+
+The default parameters are deterministic random initialization: this is an
+architecture scaffold to load trained weights into (``params`` is a plain
+pytree), not a trained predictor -- scoring biology requires real weights.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .peptides import ALPHABET, _alphabet_lut
+
+VOCAB = len(ALPHABET) + 1  # + 'other'
+
+
+def init_params(k: int = 9, embed_dim: int = 32, hidden: int = 128,
+                seed: int = 0) -> dict:
+    """Deterministic He-style initialization of the scoring head."""
+    rng = np.random.default_rng(seed)
+
+    def dense(n_in, n_out):
+        w = rng.standard_normal((n_in, n_out)) * np.sqrt(2.0 / n_in)
+        return w.astype(np.float32), np.zeros(n_out, dtype=np.float32)
+
+    embed = (rng.standard_normal((VOCAB, embed_dim)) * 0.1).astype(np.float32)
+    w1, b1 = dense(k * embed_dim, hidden)
+    w2, b2 = dense(hidden, 1)
+    return {"embed": embed, "w1": w1, "b1": b1, "w2": w2, "b2": b2}
+
+
+def score_windows(windows, params: dict):
+    """Score uint8 residue windows [m, k]; returns fp32 scores [m].
+
+    jit-compatible; all matmuls run bf16 on the MXU with fp32 accumulation.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    lut = jnp.asarray(_alphabet_lut())
+    ids = jnp.take(lut, windows.astype(jnp.int32))           # [m, k]
+    onehot = jax.nn.one_hot(ids, VOCAB, dtype=jnp.bfloat16)  # [m, k, V]
+    embed = jnp.asarray(params["embed"], jnp.bfloat16)
+    x = jnp.einsum(
+        "mkv,ve->mke", onehot, embed, preferred_element_type=jnp.float32
+    )
+    x = x.reshape(x.shape[0], -1).astype(jnp.bfloat16)       # [m, k*E]
+    w1 = jnp.asarray(params["w1"], jnp.bfloat16)
+    h = jnp.dot(x, w1, preferred_element_type=jnp.float32)
+    h = jax.nn.relu(h + jnp.asarray(params["b1"]))
+    w2 = jnp.asarray(params["w2"], jnp.bfloat16)
+    out = jnp.dot(
+        h.astype(jnp.bfloat16), w2, preferred_element_type=jnp.float32
+    )
+    return (out[:, 0] + jnp.asarray(params["b2"])[0]).astype(jnp.float32)
+
+
+def rank_neoantigen_candidates(prog, tape, k: int = 9, params: dict = None,
+                               top: int = 50):
+    """End-to-end device query: mutated k-mers of a haplotype tape, scored
+    and ranked. Returns ``(windows u8[top, k], starts i32[top],
+    scores f32[top])`` sorted by descending score."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .peptides import neoantigen_candidates
+
+    windows, starts = neoantigen_candidates(prog, tape, k)
+    if windows.shape[0] == 0:
+        return windows, starts, jnp.zeros(0, jnp.float32)
+    if params is None:
+        params = init_params(k)
+    scores = score_windows(windows, params)
+    order = np.argsort(-np.asarray(scores))[:top]
+    return windows[order], starts[order], scores[order]
