@@ -281,3 +281,21 @@ def adversarial_cohort(seed=0, n_samples=8, n_transcripts=12):
             haps.append(csqs)
         samples[f"SAMPLE{s:04d}"] = (haps[0], haps[1])
     return ref, samples
+
+
+def read_fasta_records(path):
+    """{header: sequence} from a (possibly gzipped) FASTA file."""
+    import gzip as _gzip
+
+    opener = _gzip.open if str(path).endswith(".gz") else open
+    recs = {}
+    header = None
+    with opener(path, "rt") as fh:
+        for line in fh:
+            line = line.rstrip("\n")
+            if line.startswith(">"):
+                header = line[1:]
+                recs[header] = ""
+            elif header is not None:
+                recs[header] += line
+    return recs

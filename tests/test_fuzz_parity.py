@@ -7,7 +7,7 @@ import subprocess
 import numpy as np
 import pytest
 
-from genvcf import adversarial_cohort, write_fasta, write_synthetic_vcf
+from genvcf import read_fasta_records, adversarial_cohort, write_fasta, write_synthetic_vcf
 from vcf2prot_tpu.compiler.qc import QC_OFF
 from vcf2prot_tpu.pipeline import PipelineConfig, run_pipeline
 from vcf2prot_tpu.runtime.engine import Engine
@@ -16,18 +16,6 @@ REF_BIN = "/root/reference/bins/Linux/vcf2prot"
 HAS_REF = os.access(REF_BIN, os.X_OK)
 
 
-def read_fasta_records(path):
-    recs = {}
-    header = None
-    with open(path) as fh:
-        for line in fh:
-            line = line.rstrip("\n")
-            if line.startswith(">"):
-                header = line[1:]
-                recs[header] = ""
-            elif header is not None:
-                recs[header] += line
-    return recs
 
 
 @pytest.mark.parametrize("seed", list(range(8)))

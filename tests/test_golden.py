@@ -4,24 +4,13 @@ import gzip
 import json
 import os
 
+from genvcf import read_fasta_records
 from vcf2prot_tpu.pipeline import PipelineConfig, run_pipeline
 from vcf2prot_tpu.runtime.engine import Engine
 
 GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "golden")
 
 
-def read_fasta_records(path):
-    recs = {}
-    header = None
-    with open(path) as fh:
-        for line in fh:
-            line = line.rstrip("\n")
-            if line.startswith(">"):
-                header = line[1:]
-                recs[header] = ""
-            elif header is not None:
-                recs[header] += line
-    return recs
 
 
 def test_golden_outputs(tmp_path):

@@ -7,7 +7,7 @@ import os
 
 import pytest
 
-from genvcf import random_cohort, write_fasta, write_synthetic_vcf
+from genvcf import read_fasta_records, random_cohort, write_fasta, write_synthetic_vcf
 from vcf2prot_tpu.frontend import vcf_reader
 from vcf2prot_tpu.pipeline import PipelineConfig, run_pipeline
 from vcf2prot_tpu.runtime.engine import Engine
@@ -49,19 +49,6 @@ def run(cohort, tmp_path, engine, **kw):
     return run_pipeline(cfg), outdir
 
 
-def read_fasta_records(path):
-    recs = {}
-    opener = gzip.open if str(path).endswith(".gz") else open
-    with opener(path, "rt") as fh:
-        header = None
-        for line in fh:
-            line = line.rstrip("\n")
-            if line.startswith(">"):
-                header = line[1:]
-                recs[header] = ""
-            elif header is not None:
-                recs[header] += line
-    return recs
 
 
 def test_engines_agree(cohort, tmp_path):

@@ -10,7 +10,7 @@ import subprocess
 
 import pytest
 
-from genvcf import random_cohort, write_fasta, write_synthetic_vcf
+from genvcf import read_fasta_records, random_cohort, write_fasta, write_synthetic_vcf
 from vcf2prot_tpu.pipeline import PipelineConfig, run_pipeline
 from vcf2prot_tpu.runtime.engine import Engine
 
@@ -21,18 +21,6 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-def read_fasta_records(path):
-    recs = {}
-    header = None
-    with open(path) as fh:
-        for line in fh:
-            line = line.rstrip("\n")
-            if line.startswith(">"):
-                header = line[1:]
-                recs[header] = ""
-            elif header is not None:
-                recs[header] += line
-    return recs
 
 
 @pytest.mark.parametrize("seed", [42, 7, 99])

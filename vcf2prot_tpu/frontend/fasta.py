@@ -8,17 +8,11 @@ iterates a HashMap.
 """
 from __future__ import annotations
 
-import gzip
+from ._io import open_text
 
 
 class FastaFormatError(ValueError):
     pass
-
-
-def _open_text(path):
-    if str(path).endswith(".gz"):
-        return gzip.open(path, "rt")
-    return open(path, "r")
 
 
 def read_fasta(path) -> dict:
@@ -26,7 +20,7 @@ def read_fasta(path) -> dict:
     records: dict = {}
     header = None
     chunks: list = []
-    with _open_text(path) as fh:
+    with open_text(path) as fh:
         for raw in fh:
             line = raw.rstrip("\n")
             if not line:

@@ -12,24 +12,18 @@ and src/data_structures/vcf_ds.rs:67-329) with a TPU-host-friendly design:
 """
 from __future__ import annotations
 
-import gzip
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
 from ..constants import SUP_TYPE_SET
 from . import text_parser
+from ._io import open_text
 from .bitmask import decode_bitmask
 from .maps import EarlyMap
 
 
 class VcfFormatError(ValueError):
     pass
-
-
-def _open_text(path):
-    if str(path).endswith(".gz"):
-        return gzip.open(path, "rt")
-    return open(path, "r")
 
 
 def is_supported_csq(csq: str) -> bool:
@@ -69,7 +63,7 @@ def read_vcf(path) -> VcfFile:
     """Stream a VCF file, returning sample names and the supported records."""
     probands = None
     records = []
-    with _open_text(path) as fh:
+    with open_text(path) as fh:
         for raw in fh:
             line = raw.rstrip("\n")
             if not line:

@@ -50,8 +50,9 @@ class PersonalizedProteome:
 
             native = load_native()
             if native is not None and hasattr(native, "write_fasta"):
+                # numpy arrays satisfy the buffer protocol; no copies needed
                 native.write_fasta(
-                    path, bytes(self.hap1), self.ann1, bytes(self.hap2), self.ann2
+                    path, self.hap1, self.ann1, self.hap2, self.ann2
                 )
                 return path
         opener = (

@@ -134,8 +134,6 @@ def execute_programs(programs, blob, engine: Engine,
 
         engine = resolve_auto()
     if engine is Engine.TPU:
-        from collections import deque
-
         import jax
 
         if jax.local_device_count() > 1:
@@ -147,24 +145,11 @@ def execute_programs(programs, blob, engine: Engine,
 
             return ShardedEngine(blob, make_mesh()).execute(programs)
 
-        from .runtime.tpu_engine import TpuEngine
-
-        dev = TpuEngine(blob, validate_on_device=validate_device)
         outputs = [None] * len(programs)
-        # depth-2 pipeline: keep one chunk computing on device while the
-        # previous chunk's result streams back to the host
-        pending = deque()
-        for chunk in _chunk_indices(programs, chunk_res_bytes):
-            pending.append(
-                (chunk, dev.dispatch([programs[i] for i in chunk]))
-            )
-            if len(pending) > 1:
-                done_chunk, handle = pending.popleft()
-                for i, o in zip(done_chunk, dev.collect(handle)):
-                    outputs[i] = o
-        while pending:
-            done_chunk, handle = pending.popleft()
-            for i, o in zip(done_chunk, dev.collect(handle)):
+        for chunk, outs in _device_chunk_results(
+            programs, blob, chunk_res_bytes, validate_device
+        ):
+            for i, o in zip(chunk, outs):
                 outputs[i] = o
         return outputs
     if engine is Engine.MT:
@@ -175,6 +160,27 @@ def execute_programs(programs, blob, engine: Engine,
                 )
             )
     return [cpu_engine.execute_tasks(p, blob) for p in programs]
+
+
+def _device_chunk_results(programs, blob, chunk_res_bytes, validate_device,
+                          pair_aligned=False):
+    """Depth-2 chunk pipeline over the single-device TPU engine: one chunk
+    computes on device while the previous chunk's result streams back; yields
+    ``(chunk_indices, outputs)`` in order."""
+    from collections import deque
+
+    from .runtime.tpu_engine import TpuEngine
+
+    dev = TpuEngine(blob, validate_on_device=validate_device)
+    pending = deque()
+    for chunk in _chunk_indices(programs, chunk_res_bytes, pair_aligned):
+        pending.append((chunk, dev.dispatch([programs[i] for i in chunk])))
+        if len(pending) > 1:
+            chunk_done, handle = pending.popleft()
+            yield chunk_done, dev.collect(handle)
+    while pending:
+        chunk_done, handle = pending.popleft()
+        yield chunk_done, dev.collect(handle)
 
 
 def _write_stats_tables(outdir, per_proband, per_type, per_transcript):
@@ -324,8 +330,6 @@ def run_pipeline(cfg: PipelineConfig) -> PipelineResult:
                 # per-chunk streaming writes; one chunk computes on device
                 # while the previous chunk's samples are written, so host
                 # memory stays bounded by the chunk size
-                from collections import deque
-
                 import jax
 
                 if jax.local_device_count() > 1:
@@ -338,34 +342,14 @@ def run_pipeline(cfg: PipelineConfig) -> PipelineResult:
                         for i in range(len(proband_names))
                     )
                 else:
-                    from .runtime.tpu_engine import TpuEngine
-
-                    dev = TpuEngine(
-                        blob, validate_on_device=qc.debug_device_exec
-                    )
-
-                    def write_chunk(chunk, handle):
-                        outs = dev.collect(handle)
-                        for j in range(0, len(chunk), 2):
-                            account(
-                                [
-                                    finish_sample(
-                                        chunk[j] // 2, outs[j], outs[j + 1]
-                                    )
-                                ]
-                            )
-
-                    pending = deque()
-                    for chunk in _chunk_indices(
-                        flat, cfg.chunk_res_bytes, pair_aligned=True
+                    for chunk, outs in _device_chunk_results(
+                        flat, blob, cfg.chunk_res_bytes,
+                        qc.debug_device_exec, pair_aligned=True,
                     ):
-                        pending.append(
-                            (chunk, dev.dispatch([flat[i] for i in chunk]))
+                        account(
+                            finish_sample(chunk[j] // 2, outs[j], outs[j + 1])
+                            for j in range(0, len(chunk), 2)
                         )
-                        if len(pending) > 1:
-                            write_chunk(*pending.popleft())
-                    while pending:
-                        write_chunk(*pending.popleft())
             else:
                 # host path: fused execute+write per sample, streamed through
                 # a thread pool -- tapes never accumulate

@@ -21,12 +21,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from ..compiler.haplotype import RefBlob
-
-
-def _as_u8(alt) -> np.ndarray:
-    if isinstance(alt, str):
-        alt = alt.encode("ascii")
-    return np.frombuffer(alt, dtype=np.uint8)
+from .cpu_engine import _alt_bytes as _as_u8
 
 
 @dataclass

@@ -80,13 +80,7 @@ class TpuEngine:
 
     def execute(self, programs) -> list:
         """Execute haplotype programs; returns one uint8 array per program."""
-        packed = pack_cohort(programs, self.blob)
-        if not packed.contiguous:
-            # malformed task streams: defer to the host oracle per program
-            return [
-                cpu_engine.execute_tasks(p, self.blob) for p in programs
-            ]
-        return self._execute_packed(packed, programs)
+        return self.collect(self.dispatch(programs))
 
     def dispatch(self, programs):
         """Pack + launch a chunk without blocking; pair with :meth:`collect`.
@@ -106,14 +100,8 @@ class TpuEngine:
         if out_dev is None:
             if packed.total_res == 0:
                 return [np.empty(0, dtype=np.uint8) for _ in programs]
+            # malformed task streams: defer to the host oracle per program
             return [cpu_engine.execute_tasks(p, self.blob) for p in programs]
-        out = np.asarray(out_dev[: packed.total_res])
-        return [out[start:end] for (_, start, end) in packed.spans]
-
-    def _execute_packed(self, packed: PackedCohort, programs) -> list:
-        if packed.total_res == 0:
-            return [np.empty(0, dtype=np.uint8) for _ in programs]
-        out_dev = self._launch(packed)
         out = np.asarray(out_dev[: packed.total_res])
         return [out[start:end] for (_, start, end) in packed.spans]
 
