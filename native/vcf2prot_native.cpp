@@ -794,6 +794,16 @@ TranscriptProgram compile_transcript(vector<Mutation>& muts, int64_t ref_len,
     if (ins_task.exe != 2) prog.tasks.push_back(ins_task);
     if (gap.exe != 2) prog.tasks.push_back(gap);
   }
+  // reference-stream reads must stay inside the transcript's span (the
+  // reference binary aborts on out-of-range positions; this build skips)
+  for (const Task& t : prog.tasks) {
+    if (t.exe == 0 && (t.src < 0 || t.src + t.len > ref_len))
+      throw SkipTranscript(
+          "mutation positions exceed the reference sequence "
+          "(annotation/proteome version mismatch?)");
+  }
+  if (prog.res_len < 0)
+    throw SkipTranscript("negative expected output size");
   if (qc.inspect_txp) {
     int64_t counter = prog.tasks.empty() ? 0 : prog.tasks[0].len;
     for (size_t k = 1; k < prog.tasks.size(); ++k) {

@@ -215,3 +215,67 @@ def test_short_form_start_lost_through_record_flow(tmp_path):
                     d[h] += line
             return d
         assert recs((rb_out / "S1.fasta").read_text()) == recs(outs[True])
+
+
+def test_info_keys_after_bcsq_parity(tmp_path):
+    """INFO keys AFTER BCSQ= ride into the payload in the reference
+    (split('BCSQ=')[1] takes the rest of INFO); all tiers must mirror it."""
+    import subprocess
+
+    ref = {"ENST00000000001": "M" + "A" * 50}
+    entries = "missense|G|ENST00000000001|protein_coding|+|5A>5K|1A>1T"
+    vcf = tmp_path / "s.vcf"
+    vcf.write_text(
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\n"
+        f"1\t1\tv1\tA\tT\t9\tPASS\tBCSQ={entries};AF=0.25\tGT:BCSQ\t0|1:1\n"
+    )
+    fa = tmp_path / "s.fasta"
+    write_fasta(str(fa), ref)
+    outs = {}
+    for native in (True, False):
+        out = tmp_path / f"ib{native}"
+        out.mkdir()
+        run_pipeline(
+            PipelineConfig(str(vcf), str(fa), str(out), Engine.ST, use_native=native)
+        )
+        outs[native] = (out / "S1.fasta").read_bytes()
+    assert outs[True] == outs[False]
+    ref_bin = "/root/reference/bins/Linux/vcf2prot"
+    if os.access(ref_bin, os.X_OK):
+        rb = tmp_path / "rb"
+        rb.mkdir()
+        subprocess.run(
+            [ref_bin, "-f", str(vcf), "-r", str(fa), "-o", str(rb), "-g", "st"],
+            check=True, env=dict(os.environ, NO_TEST="1"), capture_output=True,
+        )
+        assert (rb / "S1.fasta").read_bytes() == outs[True]
+
+
+def test_version_mismatch_skips_transcript(tmp_path):
+    """Mutation positions beyond the reference protein (annotation/proteome
+    version mismatch) skip the transcript in both tiers instead of reading
+    neighbouring blob bytes or crashing."""
+    ref = {"ENST00000000001": "M" + "A" * 20, "ENST00000000002": "M" + "C" * 50}
+    entries = ",".join(
+        [
+            # position 40 in a 21-residue protein: out of range
+            "missense|G|ENST00000000001|protein_coding|+|40A>40K|1A>1T",
+            "missense|G|ENST00000000002|protein_coding|+|10C>10K|1A>1T",
+        ]
+    )
+    vcf = tmp_path / "m.vcf"
+    vcf.write_text(
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\n"
+        f"1\t1\tv1\tA\tT\t9\tPASS\tBCSQ={entries}\tGT:BCSQ\t0|1:5\n"
+    )
+    fa = tmp_path / "m.fasta"
+    write_fasta(str(fa), ref)
+    for native in (True, False):
+        out = tmp_path / f"vm{native}"
+        out.mkdir()
+        run_pipeline(
+            PipelineConfig(str(vcf), str(fa), str(out), Engine.ST, use_native=native)
+        )
+        text = (out / "S1.fasta").read_text()
+        assert "ENST00000000002_1" in text      # in-range transcript kept
+        assert "ENST00000000001" not in text    # out-of-range one skipped

@@ -209,6 +209,21 @@ def get_g_rep(t: TranscriptInstruction, qc: QcConfig = None) -> TranscriptProgra
             tasks.append(task2)
     if qc.debug_txp and qc.debug_txp == t.name:
         print(f"[DEBUG_TXP] {t.name}: expected size {res_len}, tasks {tasks}")
+    # reference-stream reads must stay inside this transcript's span: an
+    # out-of-range mutation position (reference FASTA / VCF annotation
+    # version mismatch) would otherwise read the neighbouring transcript's
+    # bytes from the shared blob. The reference binary aborts here (slice
+    # panic); this build skips the transcript.
+    for task in tasks:
+        if task.exe == 0 and (task.src < 0 or task.src + task.length > t.ref_len):
+            raise TranscriptCompileError(
+                f"mutation positions exceed the reference sequence of "
+                f"{t.name} (annotation/proteome version mismatch?)"
+            )
+    if res_len < 0:
+        raise TranscriptCompileError(
+            f"negative expected output size for {t.name}"
+        )
     if qc.inspect_txp:
         _validate_task_program(t.name, tasks, res_len)
     # Some opcodes leave the result tape under-covered (e.g. 'P' with a
