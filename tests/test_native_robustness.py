@@ -121,20 +121,26 @@ def test_sanitizer_harness(tmp_path):
 
     if shutil.which("g++") is None:
         pytest.skip("g++ unavailable")
-    root = __import__("os").path.dirname(
-        __import__("os").path.dirname(__import__("os").path.abspath(__file__))
-    )
-    harness = tmp_path / "harness"
-    build = subprocess.run(
-        [
-            "g++", "-O1", "-g", "-fsanitize=address,undefined",
-            "-DVCF2PROT_NO_PYTHON", "-std=c++17",
-            f"-I{root}/native", f"{root}/native/test_harness.cpp",
-            "-o", str(harness),
-        ],
-        capture_output=True, text=True, timeout=300,
-    )
-    assert build.returncode == 0, build.stderr[-1500:]
+    import hashlib
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src_hash = hashlib.sha256(
+        open(f"{root}/native/test_harness.cpp", "rb").read()
+        + open(f"{root}/native/vcf2prot_native.cpp", "rb").read()
+    ).hexdigest()[:16]
+    harness = f"/tmp/vcf2prot_harness_{src_hash}"
+    if not os.path.exists(harness):
+        build = subprocess.run(
+            [
+                "g++", "-O1", "-g", "-fsanitize=address,undefined",
+                "-DVCF2PROT_NO_PYTHON", "-std=c++17",
+                f"-I{root}/native", f"{root}/native/test_harness.cpp",
+                "-o", harness,
+            ],
+            capture_output=True, text=True, timeout=300,
+        )
+        assert build.returncode == 0, build.stderr[-1500:]
 
     from genvcf import random_cohort, write_fasta, write_synthetic_vcf
 
