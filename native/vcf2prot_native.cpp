@@ -1115,9 +1115,24 @@ struct CohortResult {
   vector<string> warnings;
 };
 
-bool record_is_supported(const vector<string_view>& fields) {
-  if (fields.size() < 8) return false;
-  string_view info = fields[7];
+// Jump to the Nth tab-separated field without splitting the whole line
+// (record lines carry 9 + n_samples columns; the filter needs only INFO).
+bool nth_field(string_view line, int n, string_view* out) {
+  size_t pos = 0;
+  for (int i = 0; i < n; ++i) {
+    size_t tab = line.find('\t', pos);
+    if (tab == string_view::npos) return false;
+    pos = tab + 1;
+  }
+  size_t end = line.find('\t', pos);
+  *out = line.substr(
+      pos, end == string_view::npos ? string_view::npos : end - pos);
+  return true;
+}
+
+bool record_is_supported(string_view line) {
+  string_view info;
+  if (!nth_field(line, 7, &info)) return false;
   // find "BCSQ=" sub-field
   size_t pos = 0;
   string_view bcsq;
@@ -1207,8 +1222,7 @@ CohortResult compile_cohort_impl(string_view vcf_text,
         }
         continue;
       }
-      split_into(line, '\t', &fields);
-      if (record_is_supported(fields)) records.push_back(line);
+      if (record_is_supported(line)) records.push_back(line);
     }
   }
   if (n_samples == 0) throw FatalError("no samples found in VCF header");
