@@ -1248,21 +1248,42 @@ CohortResult compile_cohort_impl(string_view vcf_text,
     std::mutex dec_mu;
     auto decode_chunk = [&](size_t c) {
       try {
-        vector<string_view> fields, entries;
+        vector<string_view> entries;
         MaskIndices mi;
         auto& out = chunk_out[c];
         size_t lo = c * chunk_sz;
         size_t hi = std::min(records.size(), lo + chunk_sz);
         for (size_t r = lo; r < hi; ++r) {
-          split_into(records[r], '\t', &fields);
-          string_view csq = bcsq_payload(fields[7]);
-          bool entries_split = false;
-          vector<int> supported;
-          if (fields.size() < 9 + n_samples)
+          // single forward walk over the line: hop to INFO (field 7), then
+          // stream the sample columns (fields 9..) without materializing a
+          // per-record field vector
+          string_view line = records[r];
+          string_view info;
+          if (!nth_field(line, 7, &info))
+            throw FatalError("truncated VCF record: no INFO column");
+          string_view csq = bcsq_payload(info);
+          size_t pos = (size_t)(info.data() - line.data()) + info.size();
+          if (pos >= line.size() || line[pos] != '\t')
             throw FatalError(
                 "truncated VCF record: fewer sample columns than samples");
+          size_t col_start = line.find('\t', pos + 1);  // skip FORMAT
+          if (col_start == string_view::npos)
+            throw FatalError(
+                "truncated VCF record: fewer sample columns than samples");
+          ++col_start;
+          bool entries_split = false;
+          vector<int> supported;
           for (size_t s = 0; s < n_samples; ++s) {
-            decode_sample_field(fields[9 + s], &mi);
+            size_t col_end = line.find('\t', col_start);
+            bool last_col = col_end == string_view::npos;
+            if (last_col && s + 1 < n_samples)
+              throw FatalError(
+                  "truncated VCF record: fewer sample columns than samples");
+            string_view col = line.substr(
+                col_start,
+                last_col ? string_view::npos : col_end - col_start);
+            col_start = last_col ? line.size() : col_end + 1;
+            decode_sample_field(col, &mi);
             if (!mi.carrier) continue;
             if (!entries_split) {
               split_into(csq, ',', &entries);
