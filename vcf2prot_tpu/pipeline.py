@@ -136,16 +136,22 @@ def execute_programs(programs, blob, engine: Engine,
     if engine is Engine.TPU:
         import jax
 
+        outputs = [None] * len(programs)
         if jax.local_device_count() > 1:
-            # multi-chip within this host: one dp-sharded program over the
-            # local devices (cross-host parallelism is sample sharding,
-            # parallel/multihost.py)
+            # multi-chip within this host: dp-sharded programs over the local
+            # devices, chunked so per-device buffers stay bounded
+            # (cross-host parallelism is sample sharding, parallel/multihost.py)
             from .parallel.mesh import make_mesh
             from .parallel.sharded import ShardedEngine
 
-            return ShardedEngine(blob, make_mesh()).execute(programs)
-
-        outputs = [None] * len(programs)
+            mesh = make_mesh()
+            dev = ShardedEngine(blob, mesh)
+            budget = chunk_res_bytes * mesh.devices.size
+            for chunk in _chunk_indices(programs, budget):
+                outs = dev.execute([programs[i] for i in chunk])
+                for i, o in zip(chunk, outs):
+                    outputs[i] = o
+            return outputs
         for chunk, outs in _device_chunk_results(
             programs, blob, chunk_res_bytes, validate_device
         ):
@@ -336,11 +342,17 @@ def run_pipeline(cfg: PipelineConfig) -> PipelineResult:
                     from .parallel.mesh import make_mesh
                     from .parallel.sharded import ShardedEngine
 
-                    outputs = ShardedEngine(blob, make_mesh()).execute(flat)
-                    account(
-                        finish_sample(i, outputs[2 * i], outputs[2 * i + 1])
-                        for i in range(len(proband_names))
-                    )
+                    mesh = make_mesh()
+                    dev = ShardedEngine(blob, mesh)
+                    budget = cfg.chunk_res_bytes * mesh.devices.size
+                    for chunk in _chunk_indices(
+                        flat, budget, pair_aligned=True
+                    ):
+                        outs = dev.execute([flat[i] for i in chunk])
+                        account(
+                            finish_sample(chunk[j] // 2, outs[j], outs[j + 1])
+                            for j in range(0, len(chunk), 2)
+                        )
                 else:
                     for chunk, outs in _device_chunk_results(
                         flat, blob, cfg.chunk_res_bytes,
