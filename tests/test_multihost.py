@@ -50,3 +50,45 @@ def test_simulated_two_host_run(tmp_path):
 
     full_files = {f: (full / f).read_bytes() for f in os.listdir(full)}
     assert union == full_files
+
+
+def test_initialize_distributed_single_process(tmp_path):
+    """jax.distributed single-process init + run_multihost_pipeline smoke
+    (run in a subprocess so the distributed runtime doesn't leak into other
+    tests)."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = f"""
+import os, sys
+sys.path.insert(0, {repo!r}); sys.path.insert(0, {repo!r} + "/tests")
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+from genvcf import random_cohort, write_synthetic_vcf, write_fasta
+from vcf2prot_tpu.parallel.multihost import (
+    initialize_distributed, run_multihost_pipeline,
+)
+from vcf2prot_tpu.pipeline import PipelineConfig
+from vcf2prot_tpu.runtime.engine import Engine
+initialize_distributed("localhost:19732", num_processes=1, process_id=0)
+ref, samples = random_cohort(seed=3, n_samples=4, n_transcripts=6)
+d = {str(tmp_path)!r}
+write_synthetic_vcf(d + "/c.vcf", ref, samples)
+write_fasta(d + "/r.fasta", ref)
+os.makedirs(d + "/out", exist_ok=True)
+res = run_multihost_pipeline(PipelineConfig(
+    vcf_path=d + "/c.vcf", fasta_path=d + "/r.fasta",
+    outdir=d + "/out", engine=Engine.MT,
+))
+files = sorted(os.listdir(d + "/out/shard_0"))
+assert len(files) == 4, files
+print("MULTIHOST_OK", res.n_samples)
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True,
+        timeout=180,
+    )
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    assert "MULTIHOST_OK 4" in proc.stdout
