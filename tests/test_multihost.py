@@ -92,3 +92,47 @@ print("MULTIHOST_OK", res.n_samples)
     )
     assert proc.returncode == 0, proc.stderr[-1500:]
     assert "MULTIHOST_OK 4" in proc.stdout
+
+
+def test_two_process_distributed_run(tmp_path):
+    """Actual 2-process jax.distributed run (single machine): disjoint sample
+    shards, union covers the cohort."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    d = str(tmp_path)
+    ref, samples = random_cohort(seed=3, n_samples=6, n_transcripts=6)
+    write_synthetic_vcf(d + "/c.vcf", ref, samples)
+    write_fasta(d + "/r.fasta", ref)
+    os.makedirs(d + "/out")
+    script = f"""
+import os, sys
+sys.path.insert(0, {repo!r}); sys.path.insert(0, {repo!r} + "/tests")
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+from vcf2prot_tpu.parallel.multihost import initialize_distributed, run_multihost_pipeline
+from vcf2prot_tpu.pipeline import PipelineConfig
+from vcf2prot_tpu.runtime.engine import Engine
+pid = int(sys.argv[1]); d = sys.argv[2]
+initialize_distributed("localhost:19742", num_processes=2, process_id=pid)
+run_multihost_pipeline(PipelineConfig(
+    vcf_path=d+"/c.vcf", fasta_path=d+"/r.fasta", outdir=d+"/out",
+    engine=Engine.MT))
+"""
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", script, str(pid), d],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for pid in (0, 1)
+    ]
+    for p in procs:
+        _out, err = p.communicate(timeout=160)
+        assert p.returncode == 0, err[-1200:]
+    shard0 = set(os.listdir(d + "/out/shard_0"))
+    shard1 = set(os.listdir(d + "/out/shard_1"))
+    assert not (shard0 & shard1)
+    assert len(shard0 | shard1) == 6
+
