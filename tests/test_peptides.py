@@ -102,3 +102,32 @@ def test_scoring_is_jittable():
     a = np.asarray(jitted(windows, params))
     b = np.asarray(scoring.score_windows(windows, params))
     np.testing.assert_allclose(a, b, rtol=1e-5)
+
+
+def test_neoantigen_cli_report(tmp_path):
+    from genvcf import random_cohort, write_fasta, write_synthetic_vcf
+    from vcf2prot_tpu.cli import main
+
+    ref, samples = random_cohort(seed=9, n_samples=2, n_transcripts=6)
+    vcf = tmp_path / "c.vcf"
+    fa = tmp_path / "r.fasta"
+    write_synthetic_vcf(str(vcf), ref, samples)
+    write_fasta(str(fa), ref)
+    out = tmp_path / "o"
+    out.mkdir()
+    rc = main(
+        ["-f", str(vcf), "-r", str(fa), "-o", str(out), "-g", "st",
+         "--neoantigen_k", "9"]
+    )
+    assert rc == 0
+    import os
+
+    reports = [f for f in os.listdir(out) if f.endswith(".neoantigens.tsv")]
+    assert len(reports) == 2
+    lines = (out / reports[0]).read_text().splitlines()
+    assert lines[0] == "peptide\thaplotype\ttranscript\tprotein_start\tscore"
+    assert len(lines) > 1
+    pep, hap, name, rel, score = lines[1].split("\t")
+    assert len(pep) == 9 and hap in ("1", "2") and name in ref
+    assert int(rel) >= 0
+    float(score)

@@ -67,6 +67,16 @@ def build_parser() -> argparse.ArgumentParser:
         help="write a JAX profiler trace of the execute stage to DIR",
     )
     p.add_argument(
+        "--neoantigen_k",
+        type=int,
+        default=0,
+        metavar="K",
+        help=(
+            "also write <proband>.neoantigens.tsv: mutation-overlapping "
+            "K-mers per haplotype, ranked by the on-device scoring head"
+        ),
+    )
+    p.add_argument(
         "--no-native",
         action="store_true",
         help="disable the C++ fast path (use the Python reference path)",
@@ -112,6 +122,7 @@ def main(argv=None) -> int:
         use_native=not args.no_native,
         resume_int_maps=args.resume_int_maps,
         profile_dir=args.profile,
+        neoantigen_k=args.neoantigen_k,
     )
     try:
         result = run_pipeline(cfg)

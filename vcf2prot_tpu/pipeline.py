@@ -58,6 +58,9 @@ class PipelineConfig:
     sample_indices: list = None
     # write a JAX profiler trace of the execute stage to this directory
     profile_dir: str = ""
+    # 0 = off; k>0 writes <proband>.neoantigens.tsv with ranked
+    # mutation-overlapping k-mers per sample (downstream/report.py)
+    neoantigen_k: int = 0
 
 
 @dataclass
@@ -317,6 +320,13 @@ def run_pipeline(cfg: PipelineConfig) -> PipelineResult:
             write_compressed=cfg.write_compressed,
             ref_seqs=ref_seqs,
         )
+        if cfg.neoantigen_k:
+            from .downstream.report import write_neoantigen_report
+
+            write_neoantigen_report(
+                cfg.outdir, proband_names[i], (hap1, hap2), (h1, h2),
+                cfg.neoantigen_k,
+            )
         return (
             len(hap1.annotations) + len(hap2.annotations),
             h1.size + h2.size,
