@@ -131,3 +131,20 @@ def test_neoantigen_cli_report(tmp_path):
     assert len(pep) == 9 and hap in ("1", "2") and name in ref
     assert int(rel) >= 0
     float(score)
+
+
+def test_host_report_math_matches_device_math():
+    """The report's numpy twins must agree with the jax device versions."""
+    from vcf2prot_tpu.downstream import report, scoring
+
+    prog, tape = build_case(seed=9)
+    k = 9
+    win_h, starts_h = report._host_candidates(prog, tape, k)
+    win_d, starts_d = peptides.neoantigen_candidates(prog, tape, k)
+    np.testing.assert_array_equal(win_h, np.asarray(win_d))
+    np.testing.assert_array_equal(starts_h, np.asarray(starts_d))
+    params = scoring.init_params(k)
+    s_h = report._host_scores(win_h, params)
+    s_d = np.asarray(scoring.score_windows(win_d, params))
+    # device path computes in bf16; host in fp32
+    np.testing.assert_allclose(s_h, s_d, rtol=0.05, atol=0.05)

@@ -12,8 +12,40 @@ import os
 
 import numpy as np
 
-from .peptides import neoantigen_candidates
-from .scoring import init_params, score_windows
+from .peptides import (
+    ALPHABET,
+    _alphabet_lut,
+    alt_byte_mask,
+    valid_window_starts,
+)
+from .scoring import VOCAB, init_params
+
+
+def _host_candidates(prog, tape, k):
+    """Numpy twin of peptides.neoantigen_candidates: the CLI report stage
+    must not pay a device round-trip per sample (the jax versions serve
+    device-resident pipelines and are asserted equal in tests)."""
+    starts_mask = valid_window_starts(prog.annotations, prog.res_len, k)
+    starts = np.nonzero(starts_mask)[0].astype(np.int64)
+    if starts.size == 0:
+        return np.empty((0, k), np.uint8), starts
+    alt = alt_byte_mask(prog, prog.res_len)
+    cum = np.concatenate([[0], np.cumsum(alt.astype(np.int64))])
+    mutated = (cum[starts + k] - cum[starts]) > 0
+    starts = starts[mutated]
+    windows = tape[starts[:, None] + np.arange(k)]
+    return windows, starts
+
+
+def _host_scores(windows, params):
+    """Numpy twin of scoring.score_windows (fp32 throughout; the one-hot @
+    embedding contraction is just an embedding-row gather)."""
+    lut = _alphabet_lut()
+    ids = lut[windows.astype(np.int64)]
+    x = params["embed"][ids]                                # [m, k, E]
+    x = x.reshape(x.shape[0], -1)
+    h = np.maximum(x @ params["w1"] + params["b1"], 0.0)
+    return (h @ params["w2"])[:, 0] + params["b2"][0]
 
 
 def _transcript_of(annotations, start: int) -> str:
@@ -28,27 +60,33 @@ def write_neoantigen_report(outdir, proband, haps, tapes, k: int,
     """``haps``/``tapes``: the two HaplotypePrograms and executed tapes."""
     if params is None:
         params = init_params(k)
-    rows = []
+    # score everything, then attribute transcripts only for the global top
+    # rows (attribution is the per-row-expensive part)
+    per_hap = []
     for hap_idx, (prog, tape) in enumerate(zip(haps, tapes), start=1):
-        windows, starts = neoantigen_candidates(prog, tape, k)
-        if windows.shape[0] == 0:
+        win_np, starts_np = _host_candidates(prog, np.asarray(tape), k)
+        if win_np.shape[0] == 0:
             continue
-        scores = np.asarray(score_windows(windows, params))
-        win_np = np.asarray(windows)
-        starts_np = np.asarray(starts)
-        for w, s, sc in zip(win_np, starts_np, scores):
-            name = _transcript_of(prog.annotations, int(s))
-            # position within the personalized protein
-            rel = int(s) - next(
-                st for n, st, _e in prog.annotations if n == name
-            )
-            rows.append(
-                (bytes(w).decode("ascii"), hap_idx, name, rel, float(sc))
-            )
-    rows.sort(key=lambda r: -r[4])
+        scores = _host_scores(win_np, params)
+        per_hap.append((hap_idx, prog, win_np, starts_np, scores))
+    pool = []
+    for hap_idx, prog, win_np, starts_np, scores in per_hap:
+        order = np.argsort(-scores)[:top]
+        pool.extend(
+            (float(scores[j]), hap_idx, prog, win_np[j], int(starts_np[j]))
+            for j in order
+        )
+    pool.sort(key=lambda r: -r[0])
     path = os.path.join(outdir, f"{proband}.neoantigens.tsv")
     with open(path, "w") as fh:
         fh.write("peptide\thaplotype\ttranscript\tprotein_start\tscore\n")
-        for pep, hap, name, rel, sc in rows[:top]:
-            fh.write(f"{pep}\t{hap}\t{name}\t{rel}\t{sc:.6f}\n")
+        for sc, hap_idx, prog, w, s in pool[:top]:
+            name = _transcript_of(prog.annotations, s)
+            rel = s - next(
+                st for n, st, _e in prog.annotations if n == name
+            )
+            fh.write(
+                f"{bytes(w).decode('ascii')}\t{hap_idx}\t{name}\t{rel}\t"
+                f"{sc:.6f}\n"
+            )
     return path
