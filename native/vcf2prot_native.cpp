@@ -40,6 +40,10 @@
 #include <sys/stat.h>
 #include <unistd.h>
 
+#if defined(__x86_64__)
+#include <immintrin.h>
+#endif
+
 namespace {
 
 using std::string;
@@ -153,14 +157,12 @@ void decode_words(const vector<uint32_t>& words, MaskIndices* out) {
   out->carrier = !out->hap1.empty() || !out->hap2.empty();
 }
 
-// Decode a sample column; returns carrier indices or not-a-carrier.
-void decode_sample_field(string_view col, MaskIndices* out) {
+// Decode a sample column's bitmask sub-field (the text after the column's
+// last ':'); returns carrier indices or not-a-carrier.
+void decode_mask(string_view mask, MaskIndices* out) {
   out->hap1.clear();
   out->hap2.clear();
   out->carrier = false;
-  size_t colon = col.rfind(':');
-  if (colon == string_view::npos) return;
-  string_view mask = col.substr(colon + 1);
   if (mask == ".") return;
   if (mask.find(',') == string_view::npos) {
     int64_t v;
@@ -199,6 +201,87 @@ void decode_sample_field(string_view col, MaskIndices* out) {
     words.push_back(static_cast<uint32_t>(v));
   }
   decode_words(words, out);
+}
+
+// ----------------------------------------------------- sample-column walk ---
+
+struct CarrierCol {
+  size_t sample, mask_off, mask_len;  // offsets into the sample region
+};
+
+#if defined(__x86_64__)
+__attribute__((target("avx2"))) inline uint32_t sep_masks_avx2(
+    const char* p, uint32_t* colons) {
+  __m256i v = _mm256_loadu_si256(reinterpret_cast<const __m256i*>(p));
+  *colons = static_cast<uint32_t>(_mm256_movemask_epi8(
+      _mm256_cmpeq_epi8(v, _mm256_set1_epi8(':'))));
+  return static_cast<uint32_t>(_mm256_movemask_epi8(
+      _mm256_cmpeq_epi8(v, _mm256_set1_epi8('\t'))));
+}
+
+inline bool cpu_has_avx2() {
+  static const bool ok = __builtin_cpu_supports("avx2");
+  return ok;
+}
+#endif
+
+// Walk the tab-separated sample columns of `region` (the record text after
+// the FORMAT column), recording for each column the sub-field after its last
+// ':' -- the candidate BCSQ bitmask (text_parser.rs:163-194 takes the last
+// ':'-field). Columns with no ':' and the two overwhelmingly common
+// non-carrier masks "." and "0" are dropped inline; everything else lands in
+// `carriers` for the full decode. Returns the number of columns seen,
+// stopping at n_samples (the reference reads exactly that many and ignores
+// extra columns). SIMD path: 32-byte AVX2 blocks yield tab/colon bitmasks
+// consumed bit-by-bit, so per-column cost is a few ctz/branch ops instead of
+// a find() restart.
+size_t walk_sample_columns(string_view region, size_t n_samples,
+                           vector<CarrierCol>* carriers) {
+  carriers->clear();
+  const char* base = region.data();
+  const size_t n = region.size();
+  size_t s = 0;
+  size_t last_colon = SIZE_MAX;
+  auto flush = [&](size_t col_end) {
+    if (last_colon != SIZE_MAX) {
+      size_t off = last_colon + 1, len = col_end - off;
+      if (len > 1 || (len == 1 && base[off] != '.' && base[off] != '0'))
+        carriers->push_back(CarrierCol{s, off, len});
+      last_colon = SIZE_MAX;
+    }
+    ++s;
+  };
+  size_t i = 0;
+#if defined(__x86_64__)
+  if (cpu_has_avx2()) {
+    while (i + 32 <= n && s < n_samples) {
+      uint32_t colons;
+      uint32_t tabs = sep_masks_avx2(base + i, &colons);
+      uint32_t seps = tabs | colons;
+      while (seps) {
+        unsigned b = static_cast<unsigned>(__builtin_ctz(seps));
+        seps &= seps - 1;
+        if ((colons >> b) & 1u) {
+          last_colon = i + b;
+        } else {
+          flush(i + b);
+          if (s == n_samples) return s;
+        }
+      }
+      i += 32;
+    }
+  }
+#endif
+  for (; i < n && s < n_samples; ++i) {
+    char c = base[i];
+    if (c == ':') {
+      last_colon = i;
+    } else if (c == '\t') {
+      flush(i);
+    }
+  }
+  if (s < n_samples) flush(n);  // final column ends at the region end
+  return s;
 }
 
 // -------------------------------------------------------- mutation model ---
@@ -972,21 +1055,35 @@ struct MemoEntry {
 };
 
 struct CompileMemo {
-  std::mutex mu;
-  std::unordered_map<uint64_t, vector<MemoEntry>> map;
+  // sharded by hash so concurrent haplotype workers don't contend on one
+  // mutex (a single shared lock measurably serializes the compile stage)
+  static constexpr size_t kShards = 64;
+  struct Shard {
+    std::mutex mu;
+    std::unordered_map<uint64_t, vector<MemoEntry>> map;
+  };
+  Shard shards[kShards];
   // adaptive shutoff: cohorts whose variant bundles don't repeat (low hit
-  // rate) pay pure overhead for memoization; disable after a trial window
+  // rate) pay pure overhead for memoization; disable after a trial window.
+  // Breakeven: a sharded lookup costs ~0.5us vs ~1.6us for a fresh
+  // transcript compile, so the memo pays its way above roughly a 25% hit
+  // rate; shared-variant (1000G-like) cohorts sit far above this, fully
+  // random synthetic cohorts below it.
   std::atomic<uint64_t> lookups{0};
   std::atomic<uint64_t> hits{0};
   std::atomic<bool> enabled{true};
 
+  Shard& shard(uint64_t h) { return shards[(h >> 58) & (kShards - 1)]; }
+
   bool use() {
     if (!enabled.load(std::memory_order_relaxed)) return false;
     uint64_t n = lookups.load(std::memory_order_relaxed);
-    if (n > 50000 && hits.load(std::memory_order_relaxed) * 20 < n) {
+    if (n > 20000 && hits.load(std::memory_order_relaxed) * 4 < n) {
       enabled.store(false, std::memory_order_relaxed);
-      std::lock_guard<std::mutex> lock(mu);
-      map.clear();
+      for (auto& sh : shards) {
+        std::lock_guard<std::mutex> lock(sh.mu);
+        sh.map.clear();
+      }
       return false;
     }
     return true;
@@ -1057,9 +1154,10 @@ void compile_haplotype(const vector<string_view>& csqs, const RefTable& table,
     uint64_t h = memo_on ? group_hash(g) : 0;
     bool cached = false;
     if (memo_on) {
-      std::lock_guard<std::mutex> lock(memo->mu);
-      auto mit = memo->map.find(h);
-      if (mit != memo->map.end()) {
+      auto& sh = memo->shard(h);
+      std::lock_guard<std::mutex> lock(sh.mu);
+      auto mit = sh.map.find(h);
+      if (mit != sh.map.end()) {
         for (auto& entry : mit->second) {
           if (key_matches(entry.full_key, g)) {
             prog = entry.prog;
@@ -1081,8 +1179,9 @@ void compile_haplotype(const vector<string_view>& csqs, const RefTable& table,
         prog = nullptr;
       }
       if (memo_on) {
-        std::lock_guard<std::mutex> lock(memo->mu);
-        auto& bucket = memo->map[h];
+        auto& sh = memo->shard(h);
+        std::lock_guard<std::mutex> lock(sh.mu);
+        auto& bucket = sh.map[h];
         bool present = false;
         for (auto& entry : bucket)
           if (key_matches(entry.full_key, g)) { present = true; break; }
@@ -1130,9 +1229,7 @@ bool nth_field(string_view line, int n, string_view* out) {
   return true;
 }
 
-bool record_is_supported(string_view line) {
-  string_view info;
-  if (!nth_field(line, 7, &info)) return false;
+bool info_has_supported_csq(string_view info) {
   // find "BCSQ=" sub-field
   size_t pos = 0;
   string_view bcsq;
@@ -1167,6 +1264,11 @@ bool record_is_supported(string_view line) {
   return false;
 }
 
+bool record_is_supported(string_view line) {
+  string_view info;
+  return nth_field(line, 7, &info) && info_has_supported_csq(info);
+}
+
 string_view bcsq_payload(string_view info) {
   // INFO -> everything after the first "BCSQ=" (vcf_ds.rs:67-86)
   size_t p = info.find("BCSQ=");
@@ -1195,9 +1297,10 @@ CohortResult compile_cohort_impl(string_view vcf_text,
         std::make_tuple(ref_offsets[i], ref_offsets[i + 1] - ref_offsets[i],
                         (int64_t)i));
 
-  // --- line scan: header + supported records
-  vector<string_view> records;
+  // --- header scan (serial, touches only the leading '#' lines): sample
+  // names from the '#CHROM' row + the byte offset where records begin
   size_t n_samples = 0;
+  size_t body_start = 0;
   {
     string_view text(vcf_text);
     size_t pos = 0;
@@ -1207,117 +1310,151 @@ CohortResult compile_cohort_impl(string_view vcf_text,
       string_view line =
           text.substr(pos, nl == string_view::npos ? string_view::npos
                                                    : nl - pos);
-      pos = nl == string_view::npos ? text.size() : nl + 1;
+      size_t next = nl == string_view::npos ? text.size() : nl + 1;
       if (!line.empty() && line.back() == '\r') line.remove_suffix(1);
-      if (line.empty()) continue;
-      if (line[0] == '#') {
-        if (line.substr(0, 6) == "#CHROM") {
-          while (!line.empty() && line.back() == '\t') line.remove_suffix(1);
-          split_into(line, '\t', &fields);
-          if (fields.size() < 8)
-            throw FatalError("VCF header has fewer than 8 columns");
-          for (size_t i = 9; i < fields.size(); ++i)
-            result.probands.emplace_back(fields[i]);
-          n_samples = result.probands.size();
-        }
+      if (line.empty()) {
+        pos = next;
         continue;
       }
-      if (record_is_supported(line)) records.push_back(line);
+      if (line[0] != '#') break;  // first record line: body starts here
+      if (line.substr(0, 6) == "#CHROM") {
+        while (!line.empty() && line.back() == '\t') line.remove_suffix(1);
+        split_into(line, '\t', &fields);
+        if (fields.size() < 8)
+          throw FatalError("VCF header has fewer than 8 columns");
+        for (size_t i = 9; i < fields.size(); ++i)
+          result.probands.emplace_back(fields[i]);
+        n_samples = result.probands.size();
+      }
+      pos = next;
     }
+    body_start = pos;
   }
   if (n_samples == 0) throw FatalError("no samples found in VCF header");
-  if (records.empty())
-    throw FatalError("could not extract any records from the provided file");
-  lap("line scan + record filter");
+  lap("header scan");
 
-  // --- per-record decode into per (sample, hap) csq entry lists, threaded
-  // over record chunks and merged in record order so per-haplotype mutation
-  // order matches a serial pass
+  // --- fused record filter + per-sample decode, threaded over newline-
+  // aligned byte ranges of the record body; chunk outputs merge in byte
+  // order so per-haplotype mutation order matches a serial pass
   vector<vector<string_view>> hap_csqs(2 * n_samples);
+  size_t n_supported = 0;
   {
+    string_view body = string_view(vcf_text).substr(body_start);
     unsigned dec_threads =
         n_threads > 0 ? (unsigned)n_threads
                       : std::max(1u, std::thread::hardware_concurrency());
+    // >=32 MB per chunk; an atomic work queue over the chunks keeps the
+    // workers balanced even when record density varies across the file
     size_t n_chunks =
-        std::min<size_t>(std::max<size_t>(dec_threads, 1),
-                         std::max<size_t>(records.size() / 2048, 1));
-    size_t chunk_sz = (records.size() + n_chunks - 1) / n_chunks;
+        body.empty() ? 1
+                     : std::min<size_t>(
+                           64, std::max<size_t>(std::max<size_t>(dec_threads, 1),
+                                                body.size() >> 25));
+    size_t step = (body.size() + n_chunks - 1) / n_chunks;
+    // chunk boundary rule: chunk c starts at the first line start at/after
+    // c*step (chunk 0 at 0); a line spanning a raw boundary belongs to the
+    // earlier chunk. Both ends computed with the same rule => no gap/overlap.
+    auto chunk_begin = [&](size_t c) -> size_t {
+      if (c == 0) return 0;
+      size_t r = c * step;
+      if (r >= body.size()) return body.size();
+      size_t nl = body.find('\n', r);
+      return nl == string_view::npos ? body.size() : nl + 1;
+    };
     vector<vector<vector<string_view>>> chunk_out(
         n_chunks, vector<vector<string_view>>(2 * n_samples));
+    vector<size_t> chunk_counts(n_chunks, 0);
     std::exception_ptr dec_error;
     std::mutex dec_mu;
+    std::atomic<size_t> next_chunk{0};
     auto decode_chunk = [&](size_t c) {
-      try {
-        vector<string_view> entries;
-        MaskIndices mi;
-        auto& out = chunk_out[c];
-        size_t lo = c * chunk_sz;
-        size_t hi = std::min(records.size(), lo + chunk_sz);
-        for (size_t r = lo; r < hi; ++r) {
-          // single forward walk over the line: hop to INFO (field 7), then
-          // stream the sample columns (fields 9..) without materializing a
-          // per-record field vector
-          string_view line = records[r];
-          string_view info;
-          if (!nth_field(line, 7, &info))
-            throw FatalError("truncated VCF record: no INFO column");
-          string_view csq = bcsq_payload(info);
-          size_t pos = (size_t)(info.data() - line.data()) + info.size();
-          if (pos >= line.size() || line[pos] != '\t')
-            throw FatalError(
-                "truncated VCF record: fewer sample columns than samples");
-          size_t col_start = line.find('\t', pos + 1);  // skip FORMAT
-          if (col_start == string_view::npos)
-            throw FatalError(
-                "truncated VCF record: fewer sample columns than samples");
-          ++col_start;
-          bool entries_split = false;
-          vector<int> supported;
-          for (size_t s = 0; s < n_samples; ++s) {
-            size_t col_end = line.find('\t', col_start);
-            bool last_col = col_end == string_view::npos;
-            if (last_col && s + 1 < n_samples)
-              throw FatalError(
-                  "truncated VCF record: fewer sample columns than samples");
-            string_view col = line.substr(
-                col_start,
-                last_col ? string_view::npos : col_end - col_start);
-            col_start = last_col ? line.size() : col_end + 1;
-            decode_sample_field(col, &mi);
-            if (!mi.carrier) continue;
-            if (!entries_split) {
-              split_into(csq, ',', &entries);
-              supported.assign(entries.size(), 0);
-              for (size_t e = 0; e < entries.size(); ++e)
-                supported[e] = lookup_type(field_before(entries[e], '|')) >= 0;
-              entries_split = true;
-            }
-            for (int e : mi.hap1)
-              if ((size_t)e < entries.size() && supported[e])
-                out[2 * s].push_back(entries[e]);
-              else if ((size_t)e >= entries.size())
-                throw FatalError("bitmask index out of range of BCSQ entries");
-            for (int e : mi.hap2)
-              if ((size_t)e < entries.size() && supported[e])
-                out[2 * s + 1].push_back(entries[e]);
-              else if ((size_t)e >= entries.size())
-                throw FatalError("bitmask index out of range of BCSQ entries");
+      vector<string_view> entries;
+      vector<int> supported;
+      vector<CarrierCol> carriers;
+      MaskIndices mi;
+      auto& out = chunk_out[c];
+      size_t pos = chunk_begin(c);
+      const size_t end = chunk_begin(c + 1);
+      size_t count = 0;
+      while (pos < end) {
+        size_t nl = body.find('\n', pos);
+        string_view line = body.substr(
+            pos, (nl == string_view::npos ? body.size() : nl) - pos);
+        pos = nl == string_view::npos ? body.size() : nl + 1;
+        if (!line.empty() && line.back() == '\r') line.remove_suffix(1);
+        if (line.empty() || line[0] == '#') continue;
+        // filter: INFO (field 7) must carry a supported BCSQ consequence
+        string_view info;
+        if (!nth_field(line, 7, &info)) continue;
+        if (!info_has_supported_csq(info)) continue;
+        ++count;
+        // decode: continue the forward walk after INFO, then SIMD-scan the
+        // sample region for carrier columns
+        string_view csq = bcsq_payload(info);
+        size_t p = (size_t)(info.data() - line.data()) + info.size();
+        if (p >= line.size() || line[p] != '\t')
+          throw FatalError(
+              "truncated VCF record: fewer sample columns than samples");
+        size_t col_start = line.find('\t', p + 1);  // skip FORMAT
+        if (col_start == string_view::npos)
+          throw FatalError(
+              "truncated VCF record: fewer sample columns than samples");
+        ++col_start;
+        string_view region = line.substr(col_start);
+        if (walk_sample_columns(region, n_samples, &carriers) < n_samples)
+          throw FatalError(
+              "truncated VCF record: fewer sample columns than samples");
+        bool entries_split = false;
+        for (const CarrierCol& cc : carriers) {
+          decode_mask(region.substr(cc.mask_off, cc.mask_len), &mi);
+          if (!mi.carrier) continue;
+          if (!entries_split) {
+            split_into(csq, ',', &entries);
+            supported.assign(entries.size(), 0);
+            for (size_t e = 0; e < entries.size(); ++e)
+              supported[e] = lookup_type(field_before(entries[e], '|')) >= 0;
+            entries_split = true;
           }
+          for (int e : mi.hap1)
+            if ((size_t)e < entries.size() && supported[e])
+              out[2 * cc.sample].push_back(entries[e]);
+            else if ((size_t)e >= entries.size())
+              throw FatalError("bitmask index out of range of BCSQ entries");
+          for (int e : mi.hap2)
+            if ((size_t)e < entries.size() && supported[e])
+              out[2 * cc.sample + 1].push_back(entries[e]);
+            else if ((size_t)e >= entries.size())
+              throw FatalError("bitmask index out of range of BCSQ entries");
         }
-      } catch (...) {
-        std::lock_guard<std::mutex> lock(dec_mu);
-        if (!dec_error) dec_error = std::current_exception();
+      }
+      chunk_counts[c] = count;
+    };
+    auto dec_worker = [&]() {
+      while (true) {
+        size_t c = next_chunk.fetch_add(1);
+        if (c >= n_chunks) return;
+        try {
+          decode_chunk(c);
+        } catch (...) {
+          std::lock_guard<std::mutex> lock(dec_mu);
+          if (!dec_error) dec_error = std::current_exception();
+          return;
+        }
       }
     };
-    if (n_chunks <= 1) {
-      decode_chunk(0);
+    size_t n_workers = std::min<size_t>(std::max(dec_threads, 1u), n_chunks);
+    if (n_workers <= 1) {
+      dec_worker();
     } else {
       vector<std::thread> ts;
-      for (size_t c = 0; c < n_chunks; ++c) ts.emplace_back(decode_chunk, c);
+      for (size_t t = 0; t < n_workers; ++t) ts.emplace_back(dec_worker);
       for (auto& t : ts) t.join();
     }
     if (dec_error) std::rethrow_exception(dec_error);
-    lap("sample decode");
+    for (size_t c = 0; c < n_chunks; ++c) n_supported += chunk_counts[c];
+    if (n_supported == 0)
+      throw FatalError("could not extract any records from the provided file");
+    lap("record filter + sample decode");
     for (size_t h = 0; h < 2 * n_samples; ++h) {
       size_t total = 0;
       for (auto& co : chunk_out) total += co[h].size();

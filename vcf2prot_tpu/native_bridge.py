@@ -32,7 +32,7 @@ _SRC = os.path.join(
 def _build_native(src: str, out: str) -> bool:
     include = sysconfig.get_paths()["include"]
     cmd = [
-        "g++", "-O2", "-std=c++17", "-shared", "-fPIC",
+        "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
         f"-I{include}", src, "-o", out,
     ]
     try:
