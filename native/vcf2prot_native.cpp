@@ -289,31 +289,30 @@ size_t walk_sample_columns(string_view region, size_t n_samples,
 enum MsKind : int { SEQ = 0, END = 1, NOT = 2 };
 
 struct MutatedString {
+  // Residue text lives as a view into the VCF record text (alive through the
+  // whole compile) for the overwhelmingly common `<digits><residues>` form;
+  // `owned` is the fallback for interleaved-digit forms and is never pointed
+  // into by `view` (so copies/moves stay safe). kind==NOT always has empty
+  // text (the reference's lone-'*' case, mutation_ds.rs:71-100).
   int kind = NOT;
-  string seq;
+  string_view view;
+  string owned;
 
+  string_view text() const { return view.data() ? view : string_view(owned); }
+  size_t size() const { return text().size(); }
   // residues minus any trailing '*'
   string_view payload() const {
-    if (kind == SEQ) return seq;
-    if (kind == END) return string_view(seq).substr(0, seq.size() - 1);
+    if (kind == SEQ) return text();
+    if (kind == END) {
+      string_view t = text();
+      return t.substr(0, t.size() - 1);
+    }
     throw SkipTranscript("NOT-sequence has no payload");
   }
   bool operator==(const MutatedString& o) const {
-    return kind == o.kind && seq == o.seq;
+    return kind == o.kind && text() == o.text();
   }
 };
-
-MutatedString mutated_string(string_view s) {
-  if (s.empty()) throw SkipTranscript("empty mutated-string field");
-  MutatedString m;
-  if (s == "*") {
-    m.kind = NOT;
-    return m;
-  }
-  m.seq = string(s);
-  m.kind = s.find('*') != string_view::npos ? END : SEQ;
-  return m;
-}
 
 struct Mutation {
   int type;
@@ -322,69 +321,87 @@ struct Mutation {
   MutatedString ref_aa, mut_aa;
 };
 
-// "35KTEST" -> (35, "KTEST"); digits anywhere; '-' rejected; u16 positions
-// (text_parser.rs:127-149, mutation_ds.rs:109-138)
-bool parse_aa_side(string_view s, int64_t* pos, string* seq) {
-  if (s.find('-') != string_view::npos) return false;
+// "35KTEST" -> (35, "KTEST"); digits anywhere; '-' rejected; u16 positions;
+// an empty/digits-only residue side becomes the lone-'*' (NOT) kind
+// (text_parser.rs:127-149, mutation_ds.rs:109-138). Allocation-free when the
+// residues form one contiguous run after the digits (the real-data shape).
+bool parse_aa_side(string_view s, int64_t* pos, MutatedString* out) {
   int64_t p = 0;
   bool have_digit = false;
-  seq->clear();
-  for (char c : s) {
+  bool has_star = false;
+  bool contiguous = true;
+  size_t residue_start = string_view::npos;
+  size_t n_res = 0;
+  for (size_t i = 0; i < s.size(); ++i) {
+    char c = s[i];
+    if (c == '-') return false;
     if (c >= '0' && c <= '9') {
       have_digit = true;
       p = p * 10 + (c - '0');
       if (p > 0xFFFF) return false;  // u16 overflow fails the parse
+      if (residue_start != string_view::npos) contiguous = false;
     } else {
-      seq->push_back(c);
+      if (residue_start == string_view::npos) residue_start = i;
+      if (c == '*') has_star = true;
+      ++n_res;
     }
   }
   if (!have_digit) return false;
-  if (seq->empty()) *seq = "*";
   *pos = p;
+  out->view = {};
+  out->owned.clear();
+  if (n_res == 0 || (n_res == 1 && has_star)) {
+    out->kind = NOT;  // empty side -> synthesized "*" -> NOT
+    return true;
+  }
+  out->kind = has_star ? END : SEQ;
+  if (contiguous) {
+    out->view = s.substr(residue_start);
+  } else {
+    out->owned.reserve(n_res);
+    for (char c : s)
+      if (c < '0' || c > '9') out->owned.push_back(c);
+  }
   return true;
 }
 
-// returns false if the mutation should be silently dropped
-bool parse_mutation(string_view csq, Mutation* m) {
+// returns false if the mutation should be silently dropped; `scratch` is a
+// caller-provided split buffer (hoisted out of the per-mutation hot loop)
+bool parse_mutation(string_view csq, Mutation* m,
+                    vector<string_view>* scratch) {
   // split_csq_string: 6 pipes + protein_coding/NMD, or short-form start_lost
-  vector<string_view> f;
+  auto& f = *scratch;
   split_into(csq, '|', &f);
-  string_view type_s, transcript_s, aa_s;
-  string synth_aa;
   if (f.size() == 7) {
     if (f[3] != "protein_coding" && f[3] != "NMD") return false;
-    type_s = f[0];
-    transcript_s = f[2];
-    aa_s = f[5];
-  } else if (!f.empty() && f[0] == "start_lost" && f.size() >= 3) {
-    type_s = f[0];
-    transcript_s = f[2];
-    synth_aa = "1M>1*";
-    aa_s = synth_aa;
-  } else {
-    return false;
+    int t = lookup_type(f[0]);
+    if (t < 0) return false;
+    string_view aa_s = f[5];
+    size_t gt = aa_s.find('>');
+    if (gt == string_view::npos ||
+        aa_s.find('>', gt + 1) != string_view::npos)
+      return false;
+    int64_t rp, mp;
+    if (!parse_aa_side(aa_s.substr(0, gt), &rp, &m->ref_aa)) return false;
+    if (!parse_aa_side(aa_s.substr(gt + 1), &mp, &m->mut_aa)) return false;
+    m->type = t;
+    m->transcript = f[2];
+    m->ref_pos = (rp - 1) & 0xFFFF;  // u16 wrap (mutation_ds.rs:137)
+    m->mut_pos = (mp - 1) & 0xFFFF;
+    return true;
   }
-  int t = lookup_type(type_s);
-  if (t < 0) return false;
-  size_t gt = aa_s.find('>');
-  if (gt == string_view::npos ||
-      aa_s.find('>', gt + 1) != string_view::npos)
-    return false;
-  int64_t rp, mp;
-  string rs, ms;
-  if (!parse_aa_side(aa_s.substr(0, gt), &rp, &rs)) return false;
-  if (!parse_aa_side(aa_s.substr(gt + 1), &mp, &ms)) return false;
-  m->type = t;
-  m->transcript = transcript_s;
-  m->ref_pos = (rp - 1) & 0xFFFF;  // u16 wrap (mutation_ds.rs:137)
-  m->mut_pos = (mp - 1) & 0xFFFF;
-  try {
-    m->ref_aa = mutated_string(rs);
-    m->mut_aa = mutated_string(ms);
-  } catch (const SkipTranscript&) {
-    return false;
+  if (!f.empty() && f[0] == "start_lost" && f.size() >= 3) {
+    // short form synthesizes "1M>1*" (text_parser.rs:43-49)
+    static const char kM[] = "M";
+    m->type = START_LOST;
+    m->transcript = f[2];
+    m->ref_pos = 0;
+    m->mut_pos = 0;
+    m->ref_aa = MutatedString{SEQ, string_view(kM, 1), {}};
+    m->mut_aa = MutatedString{NOT, {}, {}};
+    return true;
   }
-  return true;
+  return false;
 }
 
 // ------------------------------------------------------- instruction ISA ---
@@ -454,7 +471,7 @@ Instruction i_replace_2_or_3(const Mutation& m) {
 
 Instruction i_inframe_insertion(const Mutation& m) {
   if (m.ref_aa.kind == SEQ) {
-    if (m.ref_aa.seq.size() != 1) {
+    if (m.ref_aa.size() != 1) {
       if (m.mut_aa.kind == NOT) return i_stop_gained(m);
       return i_replace_2_or_3(m);
     }
@@ -464,7 +481,7 @@ Instruction i_inframe_insertion(const Mutation& m) {
     throw SkipTranscript("inframe insertion with lone-'*' reference side");
   }
   if (m.mut_aa.kind == SEQ) {
-    string data = m.mut_aa.seq;
+    string data(m.mut_aa.text());
     int64_t n = (int64_t)data.size();
     return Instruction{'I', false, m.ref_pos, m.mut_pos, n, std::move(data)};
   }
@@ -475,15 +492,15 @@ Instruction i_inframe_insertion(const Mutation& m) {
 Instruction i_inframe_deletion(const Mutation& m) {
   int64_t del_span;
   if (m.ref_aa.kind == SEQ)
-    del_span = (int64_t)m.ref_aa.seq.size();
+    del_span = (int64_t)m.ref_aa.size();
   else if (m.ref_aa.kind == END)
-    del_span = (int64_t)m.ref_aa.seq.size() - 1;
+    del_span = (int64_t)m.ref_aa.size() - 1;
   else
     return i_stop_gained(m);
   string data;
   if (m.mut_aa.kind == SEQ) {
-    if (m.mut_aa.seq.size() == 1)
-      data = m.mut_aa.seq;
+    if (m.mut_aa.size() == 1)
+      data = string(m.mut_aa.text());
     else
       return i_replace_2_or_3(m);
   } else if (m.mut_aa.kind == END) {
@@ -580,7 +597,7 @@ Instruction from_mutation(const Mutation& m, const vector<Mutation>& muts) {
       Instruction b = i_stop_gained(m);
       b.code = 'P';
       if (m.ref_aa.kind == END)
-        b.length = (int64_t)m.ref_aa.seq.size() - 1;
+        b.length = (int64_t)m.ref_aa.size() - 1;
       return b;
     }
     case INFRAME_INS_STOPRET:
@@ -960,13 +977,14 @@ void drop_replicate(TranscriptGroup* g) {
 
 vector<TranscriptGroup> group_by_transcript(const vector<string_view>& csqs) {
   std::unordered_map<string_view, size_t> index_of;
+  vector<string_view> scratch;
   vector<TranscriptGroup> groups;
   vector<size_t> parsed_group(csqs.size(), SIZE_MAX);
   vector<Mutation> parsed(csqs.size());
   bool multi_len = false;
   size_t first_len = SIZE_MAX;
   for (size_t i = 0; i < csqs.size(); ++i) {
-    if (!parse_mutation(csqs[i], &parsed[i])) continue;
+    if (!parse_mutation(csqs[i], &parsed[i], &scratch)) continue;
     string_view name = parsed[i].transcript;
     auto [it, inserted] = index_of.emplace(name, groups.size());
     if (inserted) {
@@ -1007,7 +1025,7 @@ vector<TranscriptGroup> group_by_transcript(const vector<string_view>& csqs) {
       if (csqs[i].find(g.name) != string_view::npos) {
         g.csqs.push_back(csqs[i]);
         Mutation m;
-        if (parse_mutation(csqs[i], &m)) g.muts.push_back(std::move(m));
+        if (parse_mutation(csqs[i], &m, &scratch)) g.muts.push_back(std::move(m));
       }
     }
   }

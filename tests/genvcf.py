@@ -106,6 +106,37 @@ def random_cohort(seed=0, n_samples=8, n_transcripts=12):
     return ref, samples
 
 
+def shared_cohort(seed=0, n_samples=32, n_transcripts=12, bundles_per_txp=3,
+                  carrier_p=0.35):
+    """1000G-like cohort: each transcript has a small pool of population
+    haplotype bundles and every sample haplotype either carries one pool
+    bundle or none. Bundle reuse across samples is what the native compile
+    memo exploits (real cohorts share variants; `random_cohort` is the
+    adversarial no-sharing case)."""
+    rng = random.Random(seed)
+    ref = random_proteome(rng, n_transcripts)
+    pools = {}
+    for name, seq in ref.items():
+        pool = []
+        for _ in range(bundles_per_txp):
+            bundle = random_transcript_mutations(rng, name, seq)
+            if bundle:
+                pool.append(bundle)
+        pools[name] = pool
+    samples = {}
+    for s in range(n_samples):
+        haps = []
+        for _h in range(2):
+            csqs = []
+            for name in ref:
+                pool = pools[name]
+                if pool and rng.random() < carrier_p:
+                    csqs.extend(rng.choice(pool))
+            haps.append(csqs)
+        samples[f"SAMPLE{s:04d}"] = (haps[0], haps[1])
+    return ref, samples
+
+
 def write_synthetic_vcf(path, ref, samples, rng=None):
     """Emit a VCF whose records carry per-transcript consequence bundles.
 

@@ -111,3 +111,39 @@ def test_native_stats_match_python_stats(tmp_path):
     assert n_pp == p_pp
     assert n_pt == p_pt
     assert n_tc == p_tc
+
+
+def test_shared_cohort_memo_matches_python_and_no_memo(tmp_path, monkeypatch):
+    """1000G-like shared-variant cohort: the compile memo must stay enabled
+    (high hit rate), and memo / no-memo / Python-oracle outputs must be
+    array-identical."""
+    from genvcf import shared_cohort
+
+    ref, samples = shared_cohort(seed=9, n_samples=24, n_transcripts=10)
+    vcf = tmp_path / "shared.vcf"
+    write_synthetic_vcf(str(vcf), ref, samples)
+    blob = RefBlob.from_ref_seqs(ref)
+
+    nat = compile_cohort_native(str(vcf), ref, blob, QC)
+    monkeypatch.setenv("VCF2PROT_NO_MEMO", "1")
+    nat_nomemo = compile_cohort_native(str(vcf), ref, blob, QC)
+    monkeypatch.delenv("VCF2PROT_NO_MEMO")
+
+    int_maps = parse_vcf_to_int_maps(str(vcf))
+    py_programs = []
+    for m in int_maps:
+        pp = compile_proband(m, ref, blob, QC, {})
+        py_programs.extend([pp.hap1, pp.hap2])
+
+    for tag, (probands, programs, _w) in (
+        ("memo", nat), ("no-memo", nat_nomemo)
+    ):
+        assert len(programs) == len(py_programs)
+        for i, (a, b) in enumerate(zip(py_programs, programs)):
+            assert a.res_len == b.res_len, f"{tag} hap {i}"
+            assert a.annotations == b.annotations, f"{tag} hap {i}"
+            np.testing.assert_array_equal(a.exe, b.exe)
+            np.testing.assert_array_equal(a.src, b.src)
+            np.testing.assert_array_equal(a.length, b.length)
+            np.testing.assert_array_equal(a.dst, b.dst)
+            assert a.alt == b.alt, f"{tag} hap {i}: alt tape"
