@@ -39,6 +39,7 @@
 #include <sys/mman.h>
 #include <sys/stat.h>
 #include <unistd.h>
+#include <zlib.h>
 
 #if defined(__x86_64__)
 #include <immintrin.h>
@@ -1224,6 +1225,176 @@ void compile_haplotype(const vector<string_view>& csqs, const RefTable& table,
   out->res_len = res_counter;
 }
 
+// ------------------------------------------- compressed input (gzip/BGZF) ---
+// .vcf.gz cohort files are BGZF (bgzip): concatenated <=64 KiB gzip members,
+// each carrying its compressed size in a 'BC' extra subfield and its
+// uncompressed size in ISIZE -- so the block layout is walkable up front and
+// the blocks inflate in parallel. Non-BGZF gzip falls back to a serial
+// whole-stream inflate. (The reference has no compressed-input support at
+// all; its wrappers shell out to `bcftools view` first.)
+
+inline bool looks_gzip(string_view d) {
+  return d.size() >= 2 && (uint8_t)d[0] == 0x1f && (uint8_t)d[1] == 0x8b;
+}
+
+struct BgzfBlock {
+  size_t comp_off, comp_len;  // CDATA span within the compressed file
+  size_t out_off, out_len;    // span within the inflated text
+};
+
+inline uint32_t le_u16(const uint8_t* p) { return p[0] | (p[1] << 8); }
+inline uint32_t le_u32(const uint8_t* p) {
+  return p[0] | (p[1] << 8) | (p[2] << 16) | ((uint32_t)p[3] << 24);
+}
+
+// Walk the BGZF member chain; false if `comp` is not wall-to-wall BGZF.
+bool bgzf_layout(string_view comp, vector<BgzfBlock>* blocks, size_t* total) {
+  const uint8_t* d = reinterpret_cast<const uint8_t*>(comp.data());
+  size_t n = comp.size(), o = 0, out = 0;
+  blocks->clear();
+  while (o < n) {
+    if (o + 18 > n) return false;
+    if (d[o] != 0x1f || d[o + 1] != 0x8b || d[o + 2] != 8 ||
+        !(d[o + 3] & 4))
+      return false;
+    size_t xlen = le_u16(d + o + 10);
+    if (o + 12 + xlen > n) return false;
+    size_t bsize = 0, e = o + 12;
+    const size_t extra_end = o + 12 + xlen;
+    while (e + 4 <= extra_end) {
+      size_t slen = le_u16(d + e + 2);
+      if (d[e] == 66 && d[e + 1] == 67 && slen == 2) {
+        if (e + 6 > extra_end) return false;
+        bsize = le_u16(d + e + 4) + 1;
+        break;
+      }
+      e += 4 + slen;
+    }
+    if (bsize == 0 || o + bsize > n || bsize < 12 + xlen + 8) return false;
+    size_t cdata_off = o + 12 + xlen;
+    size_t cdata_len = bsize - (12 + xlen) - 8;
+    size_t isize = le_u32(d + o + bsize - 4);
+    if (isize > 0)
+      blocks->push_back(BgzfBlock{cdata_off, cdata_len, out, isize});
+    out += isize;
+    o += bsize;
+  }
+  *total = out;
+  return o == n;
+}
+
+bool inflate_bgzf_block(const uint8_t* cdata, size_t clen, char* out,
+                        size_t olen, uint32_t want_crc) {
+  z_stream zs;
+  std::memset(&zs, 0, sizeof(zs));
+  if (inflateInit2(&zs, -15) != Z_OK) return false;  // raw deflate
+  zs.next_in = const_cast<Bytef*>(cdata);
+  zs.avail_in = (uInt)clen;
+  zs.next_out = reinterpret_cast<Bytef*>(out);
+  zs.avail_out = (uInt)olen;
+  int rc = inflate(&zs, Z_FINISH);
+  bool ok = rc == Z_STREAM_END && zs.total_out == olen;
+  inflateEnd(&zs);
+  if (!ok) return false;
+  return crc32(crc32(0, nullptr, 0), reinterpret_cast<Bytef*>(out),
+               (uInt)olen) == want_crc;
+}
+
+// Inflate a gzip/BGZF byte span into text. Parallel per-block for BGZF,
+// serial whole-stream otherwise (handles concatenated members).
+void inflate_gzip_text(string_view comp, string* out, int n_threads) {
+  vector<BgzfBlock> blocks;
+  size_t total = 0;
+  if (bgzf_layout(comp, &blocks, &total)) {
+    out->resize(total);
+    const uint8_t* d = reinterpret_cast<const uint8_t*>(comp.data());
+    std::atomic<size_t> next{0};
+    std::atomic<bool> failed{false};
+    auto worker = [&]() {
+      while (!failed.load(std::memory_order_relaxed)) {
+        size_t i = next.fetch_add(1);
+        if (i >= blocks.size()) return;
+        const BgzfBlock& b = blocks[i];
+        uint32_t crc = le_u32(d + b.comp_off + b.comp_len);
+        if (!inflate_bgzf_block(d + b.comp_off, b.comp_len,
+                                out->data() + b.out_off, b.out_len, crc))
+          failed.store(true, std::memory_order_relaxed);
+      }
+    };
+    unsigned hw = n_threads > 0
+                      ? (unsigned)n_threads
+                      : std::max(1u, std::thread::hardware_concurrency());
+    size_t n_workers = std::min<size_t>(std::max(hw, 1u), blocks.size());
+    if (n_workers <= 1) {
+      worker();
+    } else {
+      vector<std::thread> ts;
+      for (size_t t = 0; t < n_workers; ++t) ts.emplace_back(worker);
+      for (auto& t : ts) t.join();
+    }
+    if (!failed.load()) return;
+    // corrupt-looking BGZF: fall through to the strict serial path so the
+    // error surfaces with zlib's diagnosis
+  }
+  out->clear();
+  z_stream zs;
+  std::memset(&zs, 0, sizeof(zs));
+  if (inflateInit2(&zs, 15 + 32) != Z_OK)  // auto gzip/zlib header
+    throw FatalError("zlib initialization failed");
+  zs.next_in =
+      const_cast<Bytef*>(reinterpret_cast<const Bytef*>(comp.data()));
+  zs.avail_in = (uInt)comp.size();
+  const size_t kChunk = 16 << 20;
+  try {
+    while (true) {
+      size_t used = out->size();
+      out->resize(used + kChunk);
+      zs.next_out = reinterpret_cast<Bytef*>(out->data() + used);
+      zs.avail_out = (uInt)kChunk;
+      int rc = inflate(&zs, Z_NO_FLUSH);
+      out->resize(used + (kChunk - zs.avail_out));
+      if (rc == Z_STREAM_END) {
+        if (zs.avail_in == 0) break;
+        if (inflateReset(&zs) != Z_OK)  // concatenated gzip members
+          throw FatalError("corrupt gzip input: bad member boundary");
+        continue;
+      }
+      if (rc != Z_OK)
+        throw FatalError(string("corrupt gzip input: ") +
+                         (zs.msg ? zs.msg : "inflate error"));
+      if (zs.avail_in == 0 && zs.avail_out != 0)
+        throw FatalError("corrupt gzip input: truncated stream");
+    }
+  } catch (...) {
+    inflateEnd(&zs);
+    throw;
+  }
+  inflateEnd(&zs);
+}
+
+// Gzip-wrap `data` (for compressed FASTA output; the reference uses flate2
+// Compression::best(), personalized_genome.rs:89).
+string gzip_compress(string_view data, int level) {
+  z_stream zs;
+  std::memset(&zs, 0, sizeof(zs));
+  if (deflateInit2(&zs, level, Z_DEFLATED, 15 + 16, 8,
+                   Z_DEFAULT_STRATEGY) != Z_OK)
+    throw FatalError("zlib initialization failed");
+  string out;
+  out.resize(deflateBound(&zs, (uLong)data.size()) + 18);
+  zs.next_in =
+      const_cast<Bytef*>(reinterpret_cast<const Bytef*>(data.data()));
+  zs.avail_in = (uInt)data.size();
+  zs.next_out = reinterpret_cast<Bytef*>(out.data());
+  zs.avail_out = (uInt)out.size();
+  int rc = deflate(&zs, Z_FINISH);
+  bool ok = rc == Z_STREAM_END;
+  out.resize(zs.total_out);
+  deflateEnd(&zs);
+  if (!ok) throw FatalError("gzip compression failed");
+  return out;
+}
+
 // --------------------------------------------------------- cohort driver ---
 
 struct CohortResult {
@@ -1609,6 +1780,17 @@ PyObject* py_compile_cohort(PyObject*, PyObject* args, PyObject* kwargs) {
                           std::istreambuf_iterator<char>());
           text = fallback;
         }
+        if (looks_gzip(text)) {
+          // gzip/BGZF input: inflate (parallel for BGZF) and release the map
+          string inflated;
+          inflate_gzip_text(text, &inflated, n_threads);
+          fallback.swap(inflated);
+          text = fallback;
+          if (mapped != MAP_FAILED) {
+            munmap(mapped, map_len);
+            mapped = MAP_FAILED;
+          }
+        }
       }
       result = compile_cohort_impl(text, ref_names, ref_offsets, qc, n_threads,
                                    collect_stats != 0);
@@ -1739,7 +1921,9 @@ PyObject* py_write_fasta(PyObject*, PyObject* args) {
   Py_buffer tape1, tape2;
   PyObject* ann1;
   PyObject* ann2;
-  if (!PyArg_ParseTuple(args, "sy*Oy*O", &path, &tape1, &ann1, &tape2, &ann2))
+  int gzip_level = 0;  // 0 = plain text; >0 = gzip (reference uses best=9)
+  if (!PyArg_ParseTuple(args, "sy*Oy*O|i", &path, &tape1, &ann1, &tape2,
+                        &ann2, &gzip_level))
     return nullptr;
   string buf;
   buf.reserve((size_t)(tape1.len + tape2.len) + 4096);
@@ -1778,13 +1962,21 @@ PyObject* py_write_fasta(PyObject*, PyObject* args) {
   bool write_ok = true;
   if (ok) {
     Py_BEGIN_ALLOW_THREADS {
-      FILE* f = fopen(path, "wb");
-      if (!f) {
-        write_ok = false;
-      } else {
-        if (fwrite(buf.data(), 1, buf.size(), f) != buf.size())
+      try {
+        if (gzip_level > 0) {
+          string gz = gzip_compress(buf, gzip_level);
+          buf.swap(gz);
+        }
+        FILE* f = fopen(path, "wb");
+        if (!f) {
           write_ok = false;
-        if (fclose(f) != 0) write_ok = false;
+        } else {
+          if (fwrite(buf.data(), 1, buf.size(), f) != buf.size())
+            write_ok = false;
+          if (fclose(f) != 0) write_ok = false;
+        }
+      } catch (const std::exception&) {
+        write_ok = false;
       }
     }
     Py_END_ALLOW_THREADS;

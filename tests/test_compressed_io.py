@@ -1,0 +1,120 @@
+"""Compressed input (gzip / BGZF) and gzip output through the native tier."""
+import gzip
+import zlib
+
+import numpy as np
+import pytest
+
+from genvcf import random_cohort, write_fasta, write_synthetic_vcf
+from vcf2prot_tpu.compiler.haplotype import RefBlob
+from vcf2prot_tpu.compiler.qc import QC_OFF
+from vcf2prot_tpu.io.bgzf import EOF_MARKER, bgzf_compress
+from vcf2prot_tpu.native_bridge import compile_cohort_native, load_native
+
+pytestmark = pytest.mark.skipif(
+    load_native() is None, reason="native module unavailable"
+)
+
+
+def _programs_equal(a, b):
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        assert x.res_len == y.res_len
+        assert x.annotations == y.annotations
+        np.testing.assert_array_equal(x.exe, y.exe)
+        np.testing.assert_array_equal(x.src, y.src)
+        np.testing.assert_array_equal(x.length, y.length)
+        np.testing.assert_array_equal(x.dst, y.dst)
+        assert x.alt == y.alt
+
+
+@pytest.fixture(scope="module")
+def cohort(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("czip")
+    ref, samples = random_cohort(seed=17, n_samples=6, n_transcripts=10)
+    plain = tmp / "cohort.vcf"
+    write_synthetic_vcf(str(plain), ref, samples)
+    write_fasta(str(tmp / "ref.fasta"), ref)
+    blob = RefBlob.from_ref_seqs(ref)
+    base = compile_cohort_native(str(plain), ref, blob, QC_OFF)
+    return tmp, ref, blob, plain.read_bytes(), base
+
+
+def test_single_member_gzip_input(cohort):
+    tmp, ref, blob, raw, (probands, programs, _w) = cohort
+    gz = tmp / "cohort_plain.vcf.gz"
+    gz.write_bytes(gzip.compress(raw, 6))
+    p2, programs2, _w2 = compile_cohort_native(str(gz), ref, blob, QC_OFF)
+    assert p2 == probands
+    _programs_equal(programs, programs2)
+
+
+@pytest.mark.parametrize("block_size", [512, 0xFF00])
+def test_bgzf_input_parallel_blocks(cohort, block_size):
+    tmp, ref, blob, raw, (probands, programs, _w) = cohort
+    gz = tmp / f"cohort_bgzf_{block_size}.vcf.gz"
+    data = bgzf_compress(raw, level=4, block_size=block_size)
+    gz.write_bytes(data)
+    # small blocks force a many-block layout (the parallel path)
+    if block_size == 512:
+        assert data.count(b"\x42\x43\x02\x00") > 8
+    p2, programs2, _w2 = compile_cohort_native(str(gz), ref, blob, QC_OFF)
+    assert p2 == probands
+    _programs_equal(programs, programs2)
+
+
+def test_bgzf_roundtrip_is_valid_gzip():
+    payload = b"hello bgzf\n" * 5000
+    data = bgzf_compress(payload, block_size=1024)
+    assert data.endswith(EOF_MARKER)
+    assert gzip.decompress(data) == payload
+
+
+def test_corrupt_gzip_raises(cohort, tmp_path):
+    tmp, ref, blob, raw, _base = cohort
+    bad = tmp_path / "bad.vcf.gz"
+    g = bytearray(gzip.compress(raw))
+    g[len(g) // 2] ^= 0xFF  # flip a bit mid-stream
+    bad.write_bytes(bytes(g))
+    with pytest.raises(RuntimeError, match="gzip"):
+        compile_cohort_native(str(bad), ref, blob, QC_OFF)
+
+
+def test_truncated_gzip_raises(cohort, tmp_path):
+    tmp, ref, blob, raw, _base = cohort
+    bad = tmp_path / "trunc.vcf.gz"
+    g = gzip.compress(raw)
+    bad.write_bytes(g[: len(g) // 2])
+    with pytest.raises(RuntimeError, match="gzip"):
+        compile_cohort_native(str(bad), ref, blob, QC_OFF)
+
+
+def test_native_gzip_output_matches_plain(tmp_path):
+    """-c output written by the native gzip writer must decompress to exactly
+    the plain-mode FASTA bytes."""
+    from vcf2prot_tpu.pipeline import PipelineConfig, run_pipeline
+    from vcf2prot_tpu.runtime.engine import Engine
+
+    ref, samples = random_cohort(seed=23, n_samples=4, n_transcripts=8)
+    vcf = tmp_path / "c.vcf"
+    fa = tmp_path / "r.fasta"
+    write_synthetic_vcf(str(vcf), ref, samples)
+    write_fasta(str(fa), ref)
+    outs = {}
+    for compressed in (False, True):
+        out = tmp_path / ("gz" if compressed else "plain")
+        out.mkdir()
+        run_pipeline(
+            PipelineConfig(
+                str(vcf), str(fa), str(out), Engine.MT, qc=None,
+                write_compressed=compressed,
+            )
+        )
+        outs[compressed] = out
+    plain_files = sorted(p.name for p in outs[False].glob("*.fasta"))
+    gz_files = sorted(p.name for p in outs[True].glob("*.fasta.gz"))
+    assert [f + ".gz" for f in plain_files] == gz_files
+    for name in plain_files:
+        plain = (outs[False] / name).read_bytes()
+        gz = gzip.decompress((outs[True] / (name + ".gz")).read_bytes())
+        assert gz == plain

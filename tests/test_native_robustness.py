@@ -136,7 +136,7 @@ def test_sanitizer_harness(tmp_path):
                 "g++", "-O1", "-g", "-fsanitize=address,undefined",
                 "-DVCF2PROT_NO_PYTHON", "-std=c++17",
                 f"-I{root}/native", f"{root}/native/test_harness.cpp",
-                "-o", harness,
+                "-o", harness, "-lz",
             ],
             capture_output=True, text=True, timeout=300,
         )

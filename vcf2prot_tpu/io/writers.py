@@ -44,15 +44,18 @@ class PersonalizedProteome:
     def write(self, outdir, write_all=False, write_compressed=False, ref_seqs=None):
         ext = ".fasta.gz" if write_compressed else ".fasta"
         path = os.path.join(outdir, self.proband + ext)
-        if not write_all and not write_compressed:
-            # the common altered-only path formats and writes natively
+        if not write_all:
+            # the altered-only path (plain or gzip) formats and writes
+            # natively; gzip level 9 matches the reference's
+            # Compression::best() (personalized_genome.rs:89)
             from ..native_bridge import load_native
 
             native = load_native()
             if native is not None and hasattr(native, "write_fasta"):
                 # numpy arrays satisfy the buffer protocol; no copies needed
                 native.write_fasta(
-                    path, self.hap1, self.ann1, self.hap2, self.ann2
+                    path, self.hap1, self.ann1, self.hap2, self.ann2,
+                    9 if write_compressed else 0,
                 )
                 return path
         opener = (

@@ -33,7 +33,7 @@ def _build_native(src: str, out: str) -> bool:
     include = sysconfig.get_paths()["include"]
     cmd = [
         "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-        f"-I{include}", src, "-o", out,
+        f"-I{include}", src, "-o", out, "-lz",
     ]
     try:
         proc = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
@@ -105,31 +105,13 @@ def compile_cohort_native(vcf_path, ref_seqs: dict, blob: RefBlob,
     offsets = np.zeros(len(names) + 1, dtype=np.int64)
     for i, n in enumerate(names):
         offsets[i + 1] = offsets[i] + len(ref_seqs[n])
-    tmp_plain = None
-    path = str(vcf_path)
-    if path.endswith(".gz"):
-        # the native scanner mmaps plain text; stream-decompress first
-        import gzip
-        import shutil
-        import tempfile
-
-        fd, tmp_plain = tempfile.mkstemp(suffix=".vcf")
-        try:
-            with gzip.open(path, "rb") as src, os.fdopen(fd, "wb") as dst:
-                shutil.copyfileobj(src, dst, 4 << 20)
-        except Exception:
-            os.unlink(tmp_plain)
-            raise
-        path = tmp_plain
-    try:
-        probands, haps, warnings = native.compile_cohort(
-            path, names, offsets.tobytes(),
-            qc_flags=qc_to_flags(qc), n_threads=n_threads,
-            collect_stats=1 if collect_stats else 0,
-        )
-    finally:
-        if tmp_plain is not None:
-            os.unlink(tmp_plain)
+    # gzip/BGZF inputs are detected by magic and inflated natively (parallel
+    # per-block for BGZF); no temp files
+    probands, haps, warnings = native.compile_cohort(
+        str(vcf_path), names, offsets.tobytes(),
+        qc_flags=qc_to_flags(qc), n_threads=n_threads,
+        collect_stats=1 if collect_stats else 0,
+    )
     programs = []
     stats_blocks = [] if collect_stats else None
     for exe_b, src_b, len_b, dst_b, alt_b, res_len, ann, stats in haps:
