@@ -1395,6 +1395,413 @@ string gzip_compress(string_view data, int level) {
   return out;
 }
 
+// ------------------------------------------------------------- BCF decode ---
+// Native BCF2.2 reader (the binary VCF used by bcftools; spec: samtools
+// VCFv4.3/BCF2.2, section 6). The reference cannot read BCF at all -- its
+// automation shells out to `bcftools view` (file_automation.py:51-82). Here a
+// BCF byte stream (already BGZF-inflated by inflate_gzip_text) decodes
+// directly into the same per-(sample,haplotype) csq lists the text scanner
+// produces: INFO/BCSQ supplies the consequence string, FORMAT/BCSQ supplies
+// the per-sample 2-bit carrier bitmask words (decoded by the same
+// decode_words as the text path).
+
+inline bool looks_bcf(string_view d) {
+  return d.size() >= 5 && d.substr(0, 3) == "BCF" && (uint8_t)d[3] == 2;
+}
+
+struct BcfCursor {
+  const uint8_t* p;
+  const uint8_t* end;
+
+  size_t left() const { return (size_t)(end - p); }
+  void need(size_t n) const {
+    if (left() < n) throw FatalError("corrupt BCF: truncated record");
+  }
+  uint8_t u8() {
+    need(1);
+    return *p++;
+  }
+  int32_t i32() {
+    need(4);
+    int32_t v;
+    std::memcpy(&v, p, 4);
+    p += 4;
+    return v;
+  }
+  // typed descriptor -> (atomic type, element count)
+  void typed(int* type, int64_t* n) {
+    uint8_t d = u8();
+    *type = d & 0x0F;
+    int64_t len = d >> 4;
+    if (len == 15) {
+      int t2;
+      int64_t n2;
+      typed(&t2, &n2);
+      if (n2 != 1) throw FatalError("corrupt BCF: bad length descriptor");
+      len = scalar_int(t2);
+    }
+    *n = len;
+  }
+  int64_t scalar_int(int type) {
+    switch (type) {
+      case 1: {
+        need(1);
+        int8_t v;
+        std::memcpy(&v, p, 1);
+        p += 1;
+        return v;
+      }
+      case 2: {
+        need(2);
+        int16_t v;
+        std::memcpy(&v, p, 2);
+        p += 2;
+        return v;
+      }
+      case 3:
+        return i32();
+      default:
+        throw FatalError("corrupt BCF: expected integer type");
+    }
+  }
+  static size_t type_size(int type) {
+    switch (type) {
+      case 0: return 0;
+      case 1: return 1;   // int8
+      case 2: return 2;   // int16
+      case 3: return 4;   // int32
+      case 5: return 4;   // float
+      case 7: return 1;   // char
+      default:
+        throw FatalError("corrupt BCF: unknown value type");
+    }
+  }
+  void skip_value(int type, int64_t n) {
+    size_t bytes = type_size(type) * (size_t)n;
+    need(bytes);
+    p += bytes;
+  }
+  string_view chars(int64_t n) {
+    need((size_t)n);
+    string_view s(reinterpret_cast<const char*>(p), (size_t)n);
+    p += n;
+    return s;
+  }
+};
+
+// Header-text dictionary: FILTER/INFO/FORMAT IDs -> contiguous indices.
+// Explicit IDX= fields win; otherwise order of first appearance, with PASS
+// implicitly 0 (spec 6.2.1). Returns the index of "BCSQ" (-1 if absent) and
+// fills the sample names from the #CHROM line.
+int64_t bcf_header_dict(string_view header_text, vector<string>* probands) {
+  int64_t bcsq_idx = -1, next_idx = 0;
+  std::unordered_map<string, int64_t> dict;
+  auto assign = [&](string_view id, int64_t explicit_idx) {
+    string key(id);
+    auto it = dict.find(key);
+    int64_t idx;
+    if (explicit_idx >= 0) {
+      idx = explicit_idx;
+      dict[key] = idx;
+      next_idx = std::max(next_idx, idx + 1);
+    } else if (it != dict.end()) {
+      idx = it->second;
+    } else {
+      idx = next_idx++;
+      dict[key] = idx;
+    }
+    if (id == "BCSQ") bcsq_idx = idx;
+  };
+  assign("PASS", 0);
+  size_t pos = 0;
+  vector<string_view> fields;
+  while (pos < header_text.size()) {
+    size_t nl = header_text.find('\n', pos);
+    string_view line = header_text.substr(
+        pos, nl == string_view::npos ? string_view::npos : nl - pos);
+    pos = nl == string_view::npos ? header_text.size() : nl + 1;
+    if (!line.empty() && line.back() == '\r') line.remove_suffix(1);
+    if (line.substr(0, 6) == "#CHROM") {
+      while (!line.empty() && line.back() == '\t') line.remove_suffix(1);
+      split_into(line, '\t', &fields);
+      if (fields.size() < 8)
+        throw FatalError("VCF header has fewer than 8 columns");
+      for (size_t i = 9; i < fields.size(); ++i)
+        probands->emplace_back(fields[i]);
+      continue;
+    }
+    bool is_dict_line = line.substr(0, 9) == "##FILTER=" ||
+                        line.substr(0, 7) == "##INFO=" ||
+                        line.substr(0, 9) == "##FORMAT=";
+    if (!is_dict_line) continue;
+    // pull ID=... and optional IDX=... out of the <...> body
+    string_view id, idx_s;
+    size_t lt = line.find('<');
+    string_view body = lt == string_view::npos ? string_view()
+                                               : line.substr(lt + 1);
+    size_t b = 0;
+    while (b < body.size()) {
+      size_t comma = body.find(',', b);
+      // quoted Description fields may contain commas; skip over quotes
+      size_t q = body.find('"', b);
+      while (comma != string_view::npos && q != string_view::npos &&
+             q < comma) {
+        size_t q2 = body.find('"', q + 1);
+        if (q2 == string_view::npos) break;
+        comma = body.find(',', q2 + 1);
+        q = body.find('"', q2 + 1);
+      }
+      string_view kv = body.substr(
+          b, comma == string_view::npos ? string_view::npos : comma - b);
+      if (!kv.empty() && kv.back() == '>') kv.remove_suffix(1);
+      if (kv.substr(0, 3) == "ID=") id = kv.substr(3);
+      if (kv.substr(0, 4) == "IDX=") idx_s = kv.substr(4);
+      if (comma == string_view::npos) break;
+      b = comma + 1;
+    }
+    if (id.empty()) continue;
+    int64_t explicit_idx = -1;
+    if (!idx_s.empty()) {
+      int64_t v;
+      if (parse_i64(idx_s, &v) && v >= 0) explicit_idx = v;
+    }
+    if (id == "PASS" && explicit_idx < 0) continue;  // already 0
+    assign(id, explicit_idx);
+  }
+  return bcsq_idx;
+}
+
+// sentinel values per integer width (spec 6.3.3)
+inline bool int_is_missing(int type, int64_t v) {
+  return (type == 1 && v == -128) || (type == 2 && v == -32768) ||
+         (type == 3 && v == INT32_MIN);
+}
+inline bool int_is_end(int type, int64_t v) {
+  return (type == 1 && v == -127) || (type == 2 && v == -32767) ||
+         (type == 3 && v == INT32_MIN + 1);
+}
+
+struct BcfRecord {
+  const uint8_t* shared;
+  size_t l_shared;
+  const uint8_t* indiv;
+  size_t l_indiv;
+};
+
+// Decode a whole BCF stream into per-(sample,hap) csq entry lists; the
+// returned string_views point into `data` (the inflated BCF bytes).
+size_t decode_bcf(string_view data, vector<string>* probands,
+                  vector<vector<string_view>>* hap_csqs, int n_threads) {
+  BcfCursor top{reinterpret_cast<const uint8_t*>(data.data()),
+                reinterpret_cast<const uint8_t*>(data.data()) + data.size()};
+  top.need(9);
+  top.p += 5;  // "BCF\2\x02" (any minor version)
+  uint32_t l_text = (uint32_t)top.i32();
+  top.need(l_text);
+  string_view header_text(reinterpret_cast<const char*>(top.p), l_text);
+  top.p += l_text;
+  int64_t bcsq_idx = bcf_header_dict(header_text, probands);
+  size_t n_samples = probands->size();
+  if (n_samples == 0) throw FatalError("no samples found in VCF header");
+  if (bcsq_idx < 0)
+    throw FatalError("could not extract any records from the provided file");
+
+  // phase 1: record spans (O(1) skip per record via l_shared/l_indiv)
+  vector<BcfRecord> records;
+  while (top.left() > 0) {
+    uint32_t l_shared = (uint32_t)top.i32();
+    uint32_t l_indiv = (uint32_t)top.i32();
+    top.need((size_t)l_shared + l_indiv);
+    records.push_back(
+        BcfRecord{top.p, l_shared, top.p + l_shared, l_indiv});
+    top.p += (size_t)l_shared + l_indiv;
+  }
+
+  // phase 2: parallel per-record decode, merged in record order
+  hap_csqs->assign(2 * n_samples, {});
+  unsigned hw = n_threads > 0
+                    ? (unsigned)n_threads
+                    : std::max(1u, std::thread::hardware_concurrency());
+  size_t n_chunks = std::min<size_t>(
+      std::max<size_t>(1, records.size() / 256), std::max(1u, hw) * 4);
+  n_chunks = std::max<size_t>(n_chunks, 1);
+  size_t chunk_sz = (records.size() + n_chunks - 1) / n_chunks;
+  vector<vector<vector<string_view>>> chunk_out(
+      n_chunks, vector<vector<string_view>>(2 * n_samples));
+  vector<size_t> chunk_counts(n_chunks, 0);
+  std::exception_ptr dec_error;
+  std::mutex dec_mu;
+  std::atomic<size_t> next_chunk{0};
+
+  auto decode_one = [&](const BcfRecord& rec,
+                        vector<vector<string_view>>& out,
+                        vector<string_view>& entries, vector<int>& supported,
+                        vector<uint32_t>& words, MaskIndices& mi) -> bool {
+    BcfCursor sh{rec.shared, rec.shared + rec.l_shared};
+    sh.need(24);
+    sh.p += 16;  // CHROM, POS, rlen, QUAL
+    int32_t n_allele_info = sh.i32();
+    int32_t n_fmt_sample = sh.i32();
+    int64_t n_info = n_allele_info & 0xFFFF;
+    int64_t n_allele = (uint32_t)n_allele_info >> 16;
+    int64_t n_fmt = (uint32_t)n_fmt_sample >> 24;
+    int64_t rec_samples = n_fmt_sample & 0xFFFFFF;
+    if (rec_samples != (int64_t)n_samples)
+      throw FatalError(
+          "truncated VCF record: fewer sample columns than samples");
+    int type;
+    int64_t n;
+    sh.typed(&type, &n);  // ID
+    sh.skip_value(type, n);
+    for (int64_t a = 0; a < n_allele; ++a) {  // REF + ALTs
+      sh.typed(&type, &n);
+      sh.skip_value(type, n);
+    }
+    sh.typed(&type, &n);  // FILTER
+    sh.skip_value(type, n);
+    string_view csq;
+    bool have_csq = false;
+    for (int64_t i = 0; i < n_info; ++i) {
+      int ktype;
+      int64_t kn;
+      sh.typed(&ktype, &kn);
+      if (kn != 1) throw FatalError("corrupt BCF: bad INFO key");
+      int64_t key = sh.scalar_int(ktype);
+      sh.typed(&type, &n);
+      if (key == bcsq_idx && type == 7) {
+        csq = sh.chars(n);
+        have_csq = true;
+      } else {
+        sh.skip_value(type, n);
+      }
+    }
+    if (!have_csq) return false;
+    // supported filter: same 6-pipe + known-type rule as the text path
+    bool any_supported = false;
+    {
+      size_t start = 0;
+      while (start <= csq.size()) {
+        size_t comma = csq.find(',', start);
+        string_view entry = csq.substr(
+            start,
+            comma == string_view::npos ? string_view::npos : comma - start);
+        int pipes = (int)std::count(entry.begin(), entry.end(), '|');
+        if (pipes == 6 && lookup_type(field_before(entry, '|')) >= 0) {
+          any_supported = true;
+          break;
+        }
+        if (comma == string_view::npos) break;
+        start = comma + 1;
+      }
+    }
+    if (!any_supported) return false;
+
+    // indiv block: find FORMAT/BCSQ, decode each sample's bitmask words
+    BcfCursor iv{rec.indiv, rec.indiv + rec.l_indiv};
+    bool entries_split = false;
+    for (int64_t f = 0; f < n_fmt; ++f) {
+      int ktype;
+      int64_t kn;
+      iv.typed(&ktype, &kn);
+      if (kn != 1) throw FatalError("corrupt BCF: bad FORMAT key");
+      int64_t key = iv.scalar_int(ktype);
+      int vtype;
+      int64_t vn;
+      iv.typed(&vtype, &vn);
+      if (key != bcsq_idx) {
+        iv.skip_value(vtype, vn * (int64_t)n_samples);
+        continue;
+      }
+      if (vtype == 0) return true;  // MISSING for all samples
+      for (size_t s = 0; s < n_samples; ++s) {
+        words.clear();
+        bool negative = false;
+        for (int64_t j = 0; j < vn; ++j) {
+          int64_t v = iv.scalar_int(vtype);
+          if (int_is_end(vtype, v) || int_is_missing(vtype, v)) {
+            // consume the rest of this sample's slots
+            for (int64_t k = j + 1; k < vn; ++k) iv.scalar_int(vtype);
+            break;
+          }
+          if (v < 0) negative = true;
+          words.push_back((uint32_t)(int32_t)v);
+        }
+        if (negative)
+          throw FatalError("An invalid bit mask was encountered: BCF record");
+        mi.hap1.clear();
+        mi.hap2.clear();
+        mi.carrier = false;
+        decode_words(words, &mi);
+        if (!mi.carrier) continue;
+        if (!entries_split) {
+          split_into(csq, ',', &entries);
+          supported.assign(entries.size(), 0);
+          for (size_t e = 0; e < entries.size(); ++e)
+            supported[e] = lookup_type(field_before(entries[e], '|')) >= 0;
+          entries_split = true;
+        }
+        for (int e : mi.hap1)
+          if ((size_t)e < entries.size() && supported[e])
+            out[2 * s].push_back(entries[e]);
+          else if ((size_t)e >= entries.size())
+            throw FatalError("bitmask index out of range of BCSQ entries");
+        for (int e : mi.hap2)
+          if ((size_t)e < entries.size() && supported[e])
+            out[2 * s + 1].push_back(entries[e]);
+          else if ((size_t)e >= entries.size())
+            throw FatalError("bitmask index out of range of BCSQ entries");
+      }
+      return true;
+    }
+    return true;  // supported INFO but no FORMAT/BCSQ: no carriers
+  };
+
+  auto dec_worker = [&]() {
+    vector<string_view> entries;
+    vector<int> supported;
+    vector<uint32_t> words;
+    MaskIndices mi;
+    while (true) {
+      size_t c = next_chunk.fetch_add(1);
+      if (c >= n_chunks) return;
+      try {
+        size_t lo = c * chunk_sz;
+        size_t hi = std::min(records.size(), lo + chunk_sz);
+        size_t count = 0;
+        for (size_t r = lo; r < hi; ++r)
+          if (decode_one(records[r], chunk_out[c], entries, supported, words,
+                         mi))
+            ++count;
+        chunk_counts[c] = count;
+      } catch (...) {
+        std::lock_guard<std::mutex> lock(dec_mu);
+        if (!dec_error) dec_error = std::current_exception();
+        return;
+      }
+    }
+  };
+  size_t n_workers = std::min<size_t>(std::max(hw, 1u), n_chunks);
+  if (n_workers <= 1) {
+    dec_worker();
+  } else {
+    vector<std::thread> ts;
+    for (size_t t = 0; t < n_workers; ++t) ts.emplace_back(dec_worker);
+    for (auto& t : ts) t.join();
+  }
+  if (dec_error) std::rethrow_exception(dec_error);
+  size_t n_supported = 0;
+  for (size_t c = 0; c < n_chunks; ++c) n_supported += chunk_counts[c];
+  for (size_t h = 0; h < 2 * n_samples; ++h) {
+    size_t total = 0;
+    for (auto& co : chunk_out) total += co[h].size();
+    (*hap_csqs)[h].reserve(total);
+    for (auto& co : chunk_out)
+      (*hap_csqs)[h].insert((*hap_csqs)[h].end(), co[h].begin(),
+                            co[h].end());
+  }
+  return n_supported;
+}
+
 // --------------------------------------------------------- cohort driver ---
 
 struct CohortResult {
@@ -1486,9 +1893,20 @@ CohortResult compile_cohort_impl(string_view vcf_text,
         std::make_tuple(ref_offsets[i], ref_offsets[i + 1] - ref_offsets[i],
                         (int64_t)i));
 
+  vector<vector<string_view>> hap_csqs;
+  size_t n_samples = 0;
+  size_t n_supported = 0;
+  if (looks_bcf(vcf_text)) {
+    // binary VCF: decode records directly (no text transcode)
+    n_supported =
+        decode_bcf(vcf_text, &result.probands, &hap_csqs, n_threads);
+    n_samples = result.probands.size();
+    if (n_supported == 0)
+      throw FatalError("could not extract any records from the provided file");
+    lap("BCF decode");
+  } else {
   // --- header scan (serial, touches only the leading '#' lines): sample
   // names from the '#CHROM' row + the byte offset where records begin
-  size_t n_samples = 0;
   size_t body_start = 0;
   {
     string_view text(vcf_text);
@@ -1525,8 +1943,7 @@ CohortResult compile_cohort_impl(string_view vcf_text,
   // --- fused record filter + per-sample decode, threaded over newline-
   // aligned byte ranges of the record body; chunk outputs merge in byte
   // order so per-haplotype mutation order matches a serial pass
-  vector<vector<string_view>> hap_csqs(2 * n_samples);
-  size_t n_supported = 0;
+  hap_csqs.assign(2 * n_samples, {});
   {
     string_view body = string_view(vcf_text).substr(body_start);
     unsigned dec_threads =
@@ -1652,6 +2069,7 @@ CohortResult compile_cohort_impl(string_view vcf_text,
         hap_csqs[h].insert(hap_csqs[h].end(), co[h].begin(), co[h].end());
     }
   }
+  }  // text / BCF branch
 
   // --- per-haplotype compile (thread pool over haplotypes)
   result.haps.resize(2 * n_samples);

@@ -118,3 +118,77 @@ def test_native_gzip_output_matches_plain(tmp_path):
         plain = (outs[False] / name).read_bytes()
         gz = gzip.decompress((outs[True] / (name + ".gz")).read_bytes())
         assert gz == plain
+
+
+# ----------------------------------------------------------------- BCF ----
+
+@pytest.mark.parametrize("explicit_idx", [False, True])
+def test_bcf_input_matches_vcf(cohort, tmp_path, explicit_idx):
+    """A BCF encoding of the same cohort compiles to identical programs."""
+    from genbcf import write_synthetic_bcf
+    from genvcf import random_cohort
+
+    ref, samples = random_cohort(seed=17, n_samples=6, n_transcripts=10)
+    _tmp, ref2, blob, _raw, (probands, programs, _w) = cohort
+    assert ref == ref2  # same seed as the module fixture
+    bcf = tmp_path / f"cohort_{explicit_idx}.bcf"
+    write_synthetic_bcf(str(bcf), ref, samples, explicit_idx=explicit_idx,
+                        block_size=4096)
+    p2, programs2, _w2 = compile_cohort_native(str(bcf), ref, blob, QC_OFF)
+    assert p2 == probands
+    _programs_equal(programs, programs2)
+
+
+def test_bcf_cli_end_to_end(tmp_path):
+    """-f cohort.bcf runs the full pipeline; output equals the VCF run."""
+    from genbcf import write_synthetic_bcf
+    from genvcf import random_cohort, write_fasta, write_synthetic_vcf
+    from vcf2prot_tpu.pipeline import PipelineConfig, run_pipeline
+    from vcf2prot_tpu.runtime.engine import Engine
+
+    ref, samples = random_cohort(seed=31, n_samples=4, n_transcripts=8)
+    vcf = tmp_path / "c.vcf"
+    bcf = tmp_path / "c.bcf"
+    fa = tmp_path / "r.fasta"
+    write_synthetic_vcf(str(vcf), ref, samples)
+    write_synthetic_bcf(str(bcf), ref, samples)
+    write_fasta(str(fa), ref)
+    outs = {}
+    for tag, path in (("vcf", vcf), ("bcf", bcf)):
+        out = tmp_path / tag
+        out.mkdir()
+        run_pipeline(
+            PipelineConfig(str(path), str(fa), str(out), Engine.MT, qc=None)
+        )
+        outs[tag] = {
+            p.name: p.read_bytes() for p in out.glob("*.fasta")
+        }
+    assert outs["vcf"] == outs["bcf"]
+
+
+def test_bcf_python_tier_raises_cleanly(tmp_path, monkeypatch):
+    from genbcf import write_synthetic_bcf
+    from genvcf import random_cohort
+    from vcf2prot_tpu.frontend.vcf_reader import read_vcf
+
+    ref, samples = random_cohort(seed=31, n_samples=2, n_transcripts=4)
+    bcf = tmp_path / "c.bcf"
+    write_synthetic_bcf(str(bcf), ref, samples)
+    with pytest.raises(ValueError, match="native tier"):
+        read_vcf(str(bcf))
+
+
+def test_truncated_bcf_raises(cohort, tmp_path):
+    from genbcf import write_synthetic_bcf
+    from genvcf import random_cohort
+
+    _tmp, ref, blob, _raw, _base = cohort
+    _ref, samples = random_cohort(seed=17, n_samples=6, n_transcripts=10)
+    bcf = tmp_path / "t.bcf"
+    write_synthetic_bcf(str(bcf), ref, samples)
+    import gzip as _gz
+    payload = _gz.decompress(bcf.read_bytes())
+    cut = tmp_path / "cut.bcf"
+    cut.write_bytes(bgzf_compress(payload[: len(payload) - 37]))
+    with pytest.raises(RuntimeError, match="BCF|truncated"):
+        compile_cohort_native(str(cut), ref, blob, QC_OFF)
