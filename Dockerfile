@@ -1,5 +1,5 @@
 FROM python:3.12-slim
-RUN apt-get update && apt-get install -y --no-install-recommends g++ && \
+RUN apt-get update && apt-get install -y --no-install-recommends g++ zlib1g-dev && \
     rm -rf /var/lib/apt/lists/*
 WORKDIR /app
 COPY . .

@@ -2,11 +2,11 @@
 """Batch automation: run the pipeline over a directory of BCF/VCF files.
 
 Counterpart of the reference's file automation wrapper (reference:
-automation_scripts/file_automation.py): each ``*.bcf.gz``/``*.bcf`` is
-converted to VCF with ``bcftools view`` (plain ``*.vcf``/``*.vcf.gz`` are used
-directly) and processed into its own output subdirectory. Failures are
-counted and reported, not fatal (the reference's batch-resilience policy;
-parallization_python.py:209-220).
+automation_scripts/file_automation.py). BCF inputs are read natively by the
+pipeline (no bcftools needed); ``bcftools view`` is used only as a fallback
+when the native tier is unavailable. Failures are counted and reported, not
+fatal (the reference's batch-resilience policy; parallization_python.py:
+209-220).
 """
 import argparse
 import os
@@ -47,11 +47,12 @@ def main(argv=None):
         outdir = os.path.join(args.output_dir, f.split(".")[0])
         os.makedirs(outdir, exist_ok=True)
         try:
-            vcf = (
-                convert_bcf(src, outdir)
-                if f.endswith((".bcf", ".bcf.gz"))
-                else src
+            from vcf2prot_tpu.native_bridge import load_native
+
+            needs_convert = (
+                f.endswith((".bcf", ".bcf.gz")) and load_native() is None
             )
+            vcf = convert_bcf(src, outdir) if needs_convert else src
             run_pipeline(
                 PipelineConfig(
                     vcf_path=vcf,
