@@ -77,6 +77,23 @@ def build_parser() -> argparse.ArgumentParser:
         ),
     )
     p.add_argument(
+        "--neoantigen_device",
+        action="store_true",
+        help=(
+            "score the cohort's neoantigen candidates in one bucketed bf16 "
+            "device batch instead of per-sample host math"
+        ),
+    )
+    p.add_argument(
+        "--neoantigen_params",
+        default="",
+        metavar="NPZ",
+        help=(
+            "load trained scoring-head weights (embed/w1/b1/w2/b2 arrays) "
+            "instead of the deterministic scaffold initialization"
+        ),
+    )
+    p.add_argument(
         "--no-native",
         action="store_true",
         help="disable the C++ fast path (use the Python reference path)",
@@ -123,6 +140,8 @@ def main(argv=None) -> int:
         resume_int_maps=args.resume_int_maps,
         profile_dir=args.profile,
         neoantigen_k=args.neoantigen_k,
+        neoantigen_device=args.neoantigen_device,
+        neoantigen_params=args.neoantigen_params,
     )
     try:
         result = run_pipeline(cfg)

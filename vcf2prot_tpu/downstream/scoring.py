@@ -34,6 +34,41 @@ def init_params(k: int = 9, embed_dim: int = 32, hidden: int = 128,
     return {"embed": embed, "w1": w1, "b1": b1, "w2": w2, "b2": b2}
 
 
+def load_params(path: str, k: int) -> dict:
+    """Load trained scoring-head weights from an ``.npz`` file.
+
+    Expected arrays: ``embed [VOCAB, E]``, ``w1 [k*E, H]``, ``b1 [H]``,
+    ``w2 [H, 1]``, ``b2 [1]``. Shapes are validated against ``k`` so a
+    mismatched peptide length fails loudly at load time, not as a silent
+    device-shape error mid-cohort.
+    """
+    data = np.load(path)
+    missing = {"embed", "w1", "b1", "w2", "b2"} - set(data.files)
+    if missing:
+        raise ValueError(
+            f"scoring params {path} missing arrays: {sorted(missing)}"
+        )
+    params = {name: np.asarray(data[name], np.float32) for name in
+              ("embed", "w1", "b1", "w2", "b2")}
+    vocab, embed_dim = params["embed"].shape
+    if vocab != VOCAB:
+        raise ValueError(
+            f"embed vocab {vocab} != expected {VOCAB} "
+            f"(alphabet {ALPHABET!r} + other)"
+        )
+    n_in, hidden = params["w1"].shape
+    if n_in != k * embed_dim:
+        raise ValueError(
+            f"w1 expects {n_in} inputs but k={k} x embed={embed_dim} "
+            f"gives {k * embed_dim}"
+        )
+    if params["b1"].shape != (hidden,) or params["w2"].shape[0] != hidden:
+        raise ValueError("hidden-layer shapes disagree between w1/b1/w2")
+    if params["w2"].shape[1] != 1 or params["b2"].shape != (1,):
+        raise ValueError("output head must be [H, 1] weights + [1] bias")
+    return params
+
+
 def score_windows(windows, params: dict):
     """Score uint8 residue windows [m, k]; returns fp32 scores [m].
 

@@ -61,6 +61,12 @@ class PipelineConfig:
     # 0 = off; k>0 writes <proband>.neoantigens.tsv with ranked
     # mutation-overlapping k-mers per sample (downstream/report.py)
     neoantigen_k: int = 0
+    # score the cohort's candidate windows in ONE bucketed bf16 device batch
+    # (downstream/cohort.py) instead of per-sample host math
+    neoantigen_device: bool = False
+    # .npz with trained scoring-head weights (downstream/scoring.load_params);
+    # empty = the deterministic scaffold initialization
+    neoantigen_params: str = ""
 
 
 @dataclass
@@ -309,6 +315,17 @@ def run_pipeline(cfg: PipelineConfig) -> PipelineResult:
     if qc.debug_cpu_exec:
         _validate_host_programs(flat)
 
+    neo_acc = None
+    neo_params = None
+    if cfg.neoantigen_k and cfg.neoantigen_params:
+        from .downstream.scoring import load_params
+
+        neo_params = load_params(cfg.neoantigen_params, cfg.neoantigen_k)
+    if cfg.neoantigen_k and cfg.neoantigen_device:
+        from .downstream.cohort import CohortCandidates
+
+        neo_acc = CohortCandidates(cfg.neoantigen_k)
+
     def finish_sample(i, h1, h2):
         hap1, hap2 = flat[2 * i], flat[2 * i + 1]
         proteome = PersonalizedProteome(
@@ -320,12 +337,15 @@ def run_pipeline(cfg: PipelineConfig) -> PipelineResult:
             write_compressed=cfg.write_compressed,
             ref_seqs=ref_seqs,
         )
-        if cfg.neoantigen_k:
+        if neo_acc is not None:
+            neo_acc.add(i, 1, hap1, h1)
+            neo_acc.add(i, 2, hap2, h2)
+        elif cfg.neoantigen_k:
             from .downstream.report import write_neoantigen_report
 
             write_neoantigen_report(
                 cfg.outdir, proband_names[i], (hap1, hap2), (h1, h2),
-                cfg.neoantigen_k,
+                cfg.neoantigen_k, params=neo_params,
             )
         return (
             len(hap1.annotations) + len(hap2.annotations),
@@ -393,6 +413,15 @@ def run_pipeline(cfg: PipelineConfig) -> PipelineResult:
                         account(pool.map(one_sample, indices))
                 else:
                     account(map(one_sample, indices))
+
+    if neo_acc is not None:
+        with timer.stage("Scoring neoantigen candidates (device batch)"):
+            from .downstream.cohort import write_reports_from_candidates
+
+            write_reports_from_candidates(
+                cfg.outdir, proband_names, flat, neo_acc.arrays(),
+                cfg.neoantigen_k, params=neo_params,
+            )
 
     result.n_samples = len(proband_names)
     result.durations = dict(timer.durations)
