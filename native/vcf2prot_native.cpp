@@ -2120,17 +2120,18 @@ PyObject* bytes_from(const void* data, size_t n) {
 PyObject* py_compile_cohort(PyObject*, PyObject* args, PyObject* kwargs) {
   static const char* kwlist[] = {"vcf_path",   "ref_names", "ref_offsets",
                                  "qc_flags",   "n_threads", "collect_stats",
-                                 nullptr};
+                                 "ann_arrays", nullptr};
   const char* vcf_path = nullptr;
   PyObject* ref_names_obj = nullptr;
   PyObject* ref_offsets_obj = nullptr;  // bytes of int64[n+1]
   int qc_flags = 7;
   int n_threads = 0;
   int collect_stats = 0;
+  int ann_arrays = 0;  // emit annotations as packed arrays, not tuple lists
   if (!PyArg_ParseTupleAndKeywords(
-          args, kwargs, "sOO|iii", const_cast<char**>(kwlist), &vcf_path,
+          args, kwargs, "sOO|iiii", const_cast<char**>(kwlist), &vcf_path,
           &ref_names_obj, &ref_offsets_obj, &qc_flags, &n_threads,
-          &collect_stats))
+          &collect_stats, &ann_arrays))
     return nullptr;
 
   vector<string> ref_names;
@@ -2234,15 +2235,33 @@ PyObject* py_compile_cohort(PyObject*, PyObject* args, PyObject* kwargs) {
   PyObject* haps = PyList_New((Py_ssize_t)result.haps.size());
   for (size_t i = 0; i < result.haps.size(); ++i) {
     HaplotypeOut& h = result.haps[i];
-    // annotation tuples carry the shared name objects directly so the
-    // bridge does no per-record Python work
-    PyObject* ann = PyList_New((Py_ssize_t)h.ann.size());
-    for (size_t a = 0; a < h.ann.size(); ++a) {
-      auto [ni, st, en] = h.ann[a];
-      PyObject* name_obj = PySequence_Fast_GET_ITEM(names_fast, (Py_ssize_t)ni);
-      PyList_SET_ITEM(ann, (Py_ssize_t)a,
-                      Py_BuildValue("(OLL)", name_obj, (long long)st,
-                                    (long long)en));
+    // annotations: packed (i32 name-index, i64 start, i64 end) arrays by
+    // default avoid materializing millions of Python tuples at pod scale;
+    // the tuple-list form remains available for compatibility
+    PyObject* ann;
+    if (ann_arrays) {
+      size_t m = h.ann.size();
+      vector<int32_t> idx(m);
+      vector<int64_t> st_v(m), en_v(m);
+      for (size_t a = 0; a < m; ++a) {
+        idx[a] = (int32_t)std::get<0>(h.ann[a]);
+        st_v[a] = std::get<1>(h.ann[a]);
+        en_v[a] = std::get<2>(h.ann[a]);
+      }
+      ann = Py_BuildValue("(NNN)",
+                          bytes_from(idx.data(), m * sizeof(int32_t)),
+                          bytes_from(st_v.data(), m * sizeof(int64_t)),
+                          bytes_from(en_v.data(), m * sizeof(int64_t)));
+    } else {
+      ann = PyList_New((Py_ssize_t)h.ann.size());
+      for (size_t a = 0; a < h.ann.size(); ++a) {
+        auto [ni, st, en] = h.ann[a];
+        PyObject* name_obj =
+            PySequence_Fast_GET_ITEM(names_fast, (Py_ssize_t)ni);
+        PyList_SET_ITEM(ann, (Py_ssize_t)a,
+                        Py_BuildValue("(OLL)", name_obj, (long long)st,
+                                      (long long)en));
+      }
     }
     PyObject* stats;
     if (collect_stats) {
@@ -2409,6 +2428,92 @@ PyObject* py_write_fasta(PyObject*, PyObject* args) {
   Py_RETURN_NONE;
 }
 
+// Array-annotation twin of py_write_fasta: spans arrive as packed
+// (i32 name-index, i64 start, i64 end) arrays plus a shared name blob
+// (concatenated names + i64 offsets), so no per-record Python objects exist
+// anywhere between compile and file write.
+PyObject* py_write_fasta_arrays(PyObject*, PyObject* args) {
+  const char* path;
+  Py_buffer tape1, idx1, st1, en1, tape2, idx2, st2, en2, names, offs;
+  int gzip_level = 0;
+  if (!PyArg_ParseTuple(args, "sy*y*y*y*y*y*y*y*y*y*|i", &path, &tape1, &idx1,
+                        &st1, &en1, &tape2, &idx2, &st2, &en2, &names, &offs,
+                        &gzip_level))
+    return nullptr;
+  Py_buffer* tapes[2] = {&tape1, &tape2};
+  Py_buffer* idxs[2] = {&idx1, &idx2};
+  Py_buffer* sts[2] = {&st1, &st2};
+  Py_buffer* ens[2] = {&en1, &en2};
+  const char* suffixes[2] = {"_1", "_2"};
+  const char* name_blob = static_cast<const char*>(names.buf);
+  const int64_t* name_off = static_cast<const int64_t*>(offs.buf);
+  size_t n_names = (size_t)(offs.len / sizeof(int64_t));  // n+1 offsets
+  bool ok = true, write_ok = true;
+  Py_BEGIN_ALLOW_THREADS {
+    string buf;
+    buf.reserve((size_t)(tape1.len + tape2.len) + 4096);
+    for (int h = 0; h < 2 && ok; ++h) {
+      const char* tape = static_cast<const char*>(tapes[h]->buf);
+      int64_t tape_len = (int64_t)tapes[h]->len;
+      const int32_t* idx = static_cast<const int32_t*>(idxs[h]->buf);
+      const int64_t* st = static_cast<const int64_t*>(sts[h]->buf);
+      const int64_t* en = static_cast<const int64_t*>(ens[h]->buf);
+      size_t m = (size_t)(idxs[h]->len / sizeof(int32_t));
+      if (sts[h]->len != (Py_ssize_t)(m * sizeof(int64_t)) ||
+          ens[h]->len != (Py_ssize_t)(m * sizeof(int64_t))) {
+        ok = false;
+        break;
+      }
+      for (size_t i = 0; i < m; ++i) {
+        int64_t ni = idx[i];
+        if (ni < 0 || (size_t)ni + 1 >= n_names || st[i] < 0 ||
+            en[i] < st[i] || en[i] > tape_len) {
+          ok = false;
+          break;
+        }
+        buf.push_back('>');
+        buf.append(name_blob + name_off[ni],
+                   (size_t)(name_off[ni + 1] - name_off[ni]));
+        buf.append(suffixes[h]);
+        buf.push_back('\n');
+        buf.append(tape + st[i], (size_t)(en[i] - st[i]));
+        buf.push_back('\n');
+      }
+    }
+    if (ok) {
+      try {
+        if (gzip_level > 0) {
+          string gz = gzip_compress(buf, gzip_level);
+          buf.swap(gz);
+        }
+        FILE* f = fopen(path, "wb");
+        if (!f) {
+          write_ok = false;
+        } else {
+          if (fwrite(buf.data(), 1, buf.size(), f) != buf.size())
+            write_ok = false;
+          if (fclose(f) != 0) write_ok = false;
+        }
+      } catch (const std::exception&) {
+        write_ok = false;
+      }
+    }
+  }
+  Py_END_ALLOW_THREADS;
+  for (Py_buffer* b :
+       {&tape1, &idx1, &st1, &en1, &tape2, &idx2, &st2, &en2, &names, &offs})
+    PyBuffer_Release(b);
+  if (!ok) {
+    PyErr_SetString(PyExc_ValueError, "bad annotation span");
+    return nullptr;
+  }
+  if (!write_ok) {
+    PyErr_Format(PyExc_OSError, "could not write %s", path);
+    return nullptr;
+  }
+  Py_RETURN_NONE;
+}
+
 PyMethodDef methods[] = {
     {"compile_cohort", (PyCFunction)py_compile_cohort,
      METH_VARARGS | METH_KEYWORDS,
@@ -2417,6 +2522,8 @@ PyMethodDef methods[] = {
      "Execute a haplotype task program into a byte tape."},
     {"write_fasta", py_write_fasta, METH_VARARGS,
      "Write one sample's altered-only personalized-proteome FASTA."},
+    {"write_fasta_arrays", py_write_fasta_arrays, METH_VARARGS,
+     "write_fasta with packed (name-idx, start, end) annotation arrays."},
     {nullptr, nullptr, 0, nullptr}};
 
 PyModuleDef module = {PyModuleDef_HEAD_INIT, "vcf2prot_native",

@@ -45,6 +45,64 @@ class RefBlob:
         return RefBlob(data, spans)
 
 
+class Annotations:
+    """Array-backed ``(name, start, end)`` span sequence.
+
+    At pod scale a cohort carries millions of annotation spans; storing them
+    as packed arrays (i32 name-index into a shared name table + i64 bounds)
+    instead of Python tuples removes the dominant object-construction cost of
+    the native bridge. Iteration/indexing materialize tuples lazily, so every
+    existing consumer (writers, downstream, tests comparing against the
+    Python tier's tuple lists) sees the same sequence.
+
+    ``names_blob``/``name_offsets`` (concatenated UTF-8 names + i64[n+1]
+    offsets, shared across the cohort) feed the native array-writer so the
+    compile -> format -> write path never creates per-record Python objects.
+    """
+
+    __slots__ = ("names", "idx", "starts", "ends", "names_blob",
+                 "name_offsets")
+
+    def __init__(self, names, idx, starts, ends, names_blob=None,
+                 name_offsets=None):
+        self.names = names              # shared list[str], transcript table
+        self.idx = idx                  # int32[m]
+        self.starts = starts            # int64[m]
+        self.ends = ends                # int64[m]
+        self.names_blob = names_blob    # bytes, concatenated names (shared)
+        self.name_offsets = name_offsets  # int64[n+1] (shared)
+
+    def __len__(self):
+        return len(self.idx)
+
+    def __iter__(self):
+        names = self.names
+        for i, s, e in zip(self.idx.tolist(), self.starts.tolist(),
+                           self.ends.tolist()):
+            yield (names[i], s, e)
+
+    def __getitem__(self, j):
+        if isinstance(j, slice):
+            return [(self.names[i], s, e) for i, s, e in
+                    zip(self.idx[j].tolist(), self.starts[j].tolist(),
+                        self.ends[j].tolist())]
+        return (self.names[int(self.idx[j])], int(self.starts[j]),
+                int(self.ends[j]))
+
+    def __eq__(self, other):
+        if isinstance(other, Annotations):
+            return (len(self) == len(other)
+                    and np.array_equal(self.starts, other.starts)
+                    and np.array_equal(self.ends, other.ends)
+                    and list(self) == list(other))
+        if isinstance(other, (list, tuple)):
+            return list(self) == list(other)
+        return NotImplemented
+
+    def __repr__(self):
+        return f"Annotations({list(self)!r})"
+
+
 def _empty_i64():
     return np.empty(0, dtype=np.int64)
 

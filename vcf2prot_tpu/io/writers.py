@@ -51,11 +51,31 @@ class PersonalizedProteome:
             from ..native_bridge import load_native
 
             native = load_native()
+            level = 9 if write_compressed else 0
+            a1, a2 = self.ann1, self.ann2
+            if (
+                native is not None
+                and hasattr(native, "write_fasta_arrays")
+                and getattr(a1, "names_blob", None) is not None
+                and getattr(a2, "names_blob", None) is not None
+                and a1.names_blob is a2.names_blob
+            ):
+                # array-backed annotations (native bridge output): format and
+                # write without creating any per-record Python objects
+                native.write_fasta_arrays(
+                    path, self.hap1, a1.idx, a1.starts, a1.ends,
+                    self.hap2, a2.idx, a2.starts, a2.ends,
+                    a1.names_blob, a1.name_offsets, level,
+                )
+                return path
             if native is not None and hasattr(native, "write_fasta"):
                 # numpy arrays satisfy the buffer protocol; no copies needed
                 native.write_fasta(
-                    path, self.hap1, self.ann1, self.hap2, self.ann2,
-                    9 if write_compressed else 0,
+                    path, self.hap1,
+                    a1 if isinstance(a1, list) else list(a1),
+                    self.hap2,
+                    a2 if isinstance(a2, list) else list(a2),
+                    level,
                 )
                 return path
         opener = (

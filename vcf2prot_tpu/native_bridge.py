@@ -16,7 +16,7 @@ import sysconfig
 
 import numpy as np
 
-from .compiler.haplotype import HaplotypeProgram, RefBlob
+from .compiler.haplotype import Annotations, HaplotypeProgram, RefBlob
 from .compiler.qc import QcConfig
 
 _NATIVE = None
@@ -110,13 +110,20 @@ def compile_cohort_native(vcf_path, ref_seqs: dict, blob: RefBlob,
     probands, haps, warnings = native.compile_cohort(
         str(vcf_path), names, offsets.tobytes(),
         qc_flags=qc_to_flags(qc), n_threads=n_threads,
-        collect_stats=1 if collect_stats else 0,
+        collect_stats=1 if collect_stats else 0, ann_arrays=1,
     )
+    # shared per-cohort name table for the array-backed annotations and the
+    # native array-writer (one blob, no per-record Python objects)
+    name_blobs = [n.encode("utf-8") for n in names]
+    names_blob = b"".join(name_blobs)
+    name_offsets = np.zeros(len(names) + 1, dtype=np.int64)
+    np.cumsum([len(b) for b in name_blobs], out=name_offsets[1:])
     programs = []
     stats_blocks = [] if collect_stats else None
     for exe_b, src_b, len_b, dst_b, alt_b, res_len, ann, stats in haps:
         if collect_stats:
             stats_blocks.append(stats)
+        idx_b, st_b, en_b = ann
         prog = HaplotypeProgram(
             exe=np.frombuffer(exe_b, dtype=np.uint8),
             src=np.frombuffer(src_b, dtype=np.int64),
@@ -124,8 +131,14 @@ def compile_cohort_native(vcf_path, ref_seqs: dict, blob: RefBlob,
             dst=np.frombuffer(dst_b, dtype=np.int64),
             alt=alt_b,
             res_len=res_len,
-            # the extension already embeds the shared name objects
-            annotations=ann,
+            annotations=Annotations(
+                names,
+                np.frombuffer(idx_b, dtype=np.int32),
+                np.frombuffer(st_b, dtype=np.int64),
+                np.frombuffer(en_b, dtype=np.int64),
+                names_blob=names_blob,
+                name_offsets=name_offsets,
+            ),
         )
         programs.append(prog)
     if collect_stats:
