@@ -103,6 +103,61 @@ class Annotations:
         return f"Annotations({list(self)!r})"
 
 
+class AltPool:
+    """Cohort-level alt tape: each distinct transcript group's alt bytes
+    appear exactly once, at an offset fixed by *first use in cohort scan
+    order* (samples in order, hap1 then hap2, transcripts in haplotype
+    order).
+
+    The reference (and the pre-pool build) copies a compiled transcript's
+    alt payload into every carrier haplotype's alt tape
+    (haplotype_instruction.rs:94-133); on shared-variant cohorts that is the
+    dominant compile-stage memory traffic and it inflates the device upload.
+    Keying the pool on the same (transcript, csq-bundle) identity as the
+    compile memo makes the layout a pure function of the input, so the
+    threaded native tier reproduces it bit-for-bit (tests assert tier
+    equality on ``src`` and the pool bytes).
+    """
+
+    __slots__ = ("_offsets", "_chunks", "total")
+
+    def __init__(self):
+        self._offsets = {}
+        self._chunks = []
+        self.total = 0
+
+    def offset_for(self, key, alt: str) -> int:
+        off = self._offsets.get(key)
+        if off is None:
+            off = self.total
+            self._offsets[key] = off
+            self._chunks.append(alt)
+            self.total += len(alt)
+        return off
+
+    @property
+    def n_segments(self) -> int:
+        return len(self._chunks)
+
+    def finalize(self) -> bytes:
+        return "".join(self._chunks).encode("ascii")
+
+
+def attach_pool(programs, pool: "AltPool | bytes") -> bytes:
+    """Set the finalized pool bytes as every pooled program's alt tape.
+
+    Engines and downstream consumers read ``prog.alt`` with the program's
+    (pool-absolute) exe==1 sources, so sharing one bytes object keeps every
+    existing consumer valid while ``pack_cohort`` recognizes the shared
+    identity and skips per-chunk alt concatenation entirely.
+    """
+    pool_bytes = pool.finalize() if isinstance(pool, AltPool) else pool
+    for p in programs:
+        if p.pooled:
+            p.alt = pool_bytes
+    return pool_bytes
+
+
 def _empty_i64():
     return np.empty(0, dtype=np.int64)
 
@@ -130,13 +185,31 @@ class HaplotypeProgram:
     alt: bytes = b""
     res_len: int = 0
     annotations: list = field(default_factory=list)
+    # True when exe==1 sources index a cohort-level shared AltPool (alt is
+    # then the same bytes object on every program of the cohort)
+    pooled: bool = False
 
     @property
     def n_tasks(self) -> int:
         return len(self.exe)
 
 
-def _compile_transcript_cached(alt_transcript, ref_seqs, qc, cache):
+def _group_key(alt_transcript):
+    """Identity of a (transcript, csq-bundle) group — the memo *and* alt-pool
+    key shared by both tiers."""
+    identity = alt_transcript.csq_key
+    if not identity and alt_transcript.alts:
+        # checkpoint-restored transcripts have no source strings; key on
+        # the full mutation identity instead
+        identity = tuple(
+            (m.mut_type, m.info.ref_pos, m.info.mut_pos,
+             m.info.ref_aa, m.info.mut_aa)
+            for m in alt_transcript.alts
+        )
+    return (alt_transcript.name, identity)
+
+
+def _compile_transcript_cached(alt_transcript, ref_seqs, qc, cache, key=None):
     """Compile one transcript, memoized on its full mutation identity.
 
     Cohorts share variant bundles across samples and haplotypes, and the
@@ -144,18 +217,9 @@ def _compile_transcript_cached(alt_transcript, ref_seqs, qc, cache):
     indices), so one compilation serves every carrier. Failures are cached
     too (as the error) so a bad transcript is diagnosed once.
     """
-    key = None
     if cache is not None:
-        identity = alt_transcript.csq_key
-        if not identity and alt_transcript.alts:
-            # checkpoint-restored transcripts have no source strings; key on
-            # the full mutation identity instead
-            identity = tuple(
-                (m.mut_type, m.info.ref_pos, m.info.mut_pos,
-                 m.info.ref_aa, m.info.mut_aa)
-                for m in alt_transcript.alts
-            )
-        key = (alt_transcript.name, identity)
+        if key is None:
+            key = _group_key(alt_transcript)
         hit = cache.get(key)
         if hit is not None:
             if isinstance(hit, TranscriptCompileError):
@@ -180,11 +244,17 @@ def compile_haplotype(
     qc: QcConfig = None,
     collect_errors: list = None,
     compile_cache: dict = None,
+    alt_pool: AltPool = None,
 ) -> HaplotypeProgram:
-    """Compile and fuse all of a haplotype's transcripts."""
+    """Compile and fuse all of a haplotype's transcripts.
+
+    With ``alt_pool`` the haplotype carries no local alt tape: exe==1 sources
+    are absolute offsets into the cohort-level pool (call
+    :func:`attach_pool` once every haplotype has compiled).
+    """
     if qc is None:
         qc = default_qc()
-    fused = HaplotypeProgram()
+    fused = HaplotypeProgram(pooled=alt_pool is not None)
     exe_l: list = []
     src_l: list = []
     len_l: list = []
@@ -193,9 +263,14 @@ def compile_haplotype(
     alt_counter = 0
     res_counter = 0
     for alt_transcript in alt_transcripts:
+        key = (
+            _group_key(alt_transcript)
+            if alt_pool is not None or compile_cache is not None
+            else None
+        )
         try:
             prog = _compile_transcript_cached(
-                alt_transcript, ref_seqs, qc, compile_cache
+                alt_transcript, ref_seqs, qc, compile_cache, key
             )
         except QcPanic:
             raise
@@ -210,21 +285,27 @@ def compile_haplotype(
                 )
             continue
         ref_off = blob.spans[prog.name][0]
+        if alt_pool is not None and prog.alt:
+            alt_off = alt_pool.offset_for(key, prog.alt)
+        else:
+            alt_off = alt_counter
         for t in prog.tasks:
             exe_l.append(t.exe)
-            src_l.append(t.src + (ref_off if t.exe == 0 else alt_counter))
+            src_l.append(t.src + (ref_off if t.exe == 0 else alt_off))
             len_l.append(t.length)
             dst_l.append(t.dst + res_counter)
         fused.annotations.append(
             (prog.name, res_counter, res_counter + prog.res_len)
         )
-        alt_chunks.append(prog.alt)
-        alt_counter += len(prog.alt)
+        if alt_pool is None:
+            alt_chunks.append(prog.alt)
+            alt_counter += len(prog.alt)
         res_counter += prog.res_len
     fused.exe = np.array(exe_l, dtype=np.uint8)
     fused.src = np.array(src_l, dtype=np.int64)
     fused.length = np.array(len_l, dtype=np.int64)
     fused.dst = np.array(dst_l, dtype=np.int64)
-    fused.alt = "".join(alt_chunks).encode("ascii")
+    if alt_pool is None:
+        fused.alt = "".join(alt_chunks).encode("ascii")
     fused.res_len = res_counter
     return fused

@@ -22,13 +22,16 @@ def compile_proband(
     blob: RefBlob,
     qc: QcConfig = None,
     compile_cache: dict = None,
+    alt_pool=None,
 ) -> ProbandProgram:
     return ProbandProgram(
         int_map.proband,
         compile_haplotype(
-            int_map.mutations1, ref_seqs, blob, qc, compile_cache=compile_cache
+            int_map.mutations1, ref_seqs, blob, qc,
+            compile_cache=compile_cache, alt_pool=alt_pool,
         ),
         compile_haplotype(
-            int_map.mutations2, ref_seqs, blob, qc, compile_cache=compile_cache
+            int_map.mutations2, ref_seqs, blob, qc,
+            compile_cache=compile_cache, alt_pool=alt_pool,
         ),
     )

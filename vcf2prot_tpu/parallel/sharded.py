@@ -25,20 +25,25 @@ from ..runtime.pack import pack_cohort, pad_to_bucket
 _FN_CACHE = {}
 
 
-def _sharded_runner(mesh, out_bucket: int):
-    """Build (and cache) the shard_map'd executor for one output bucket."""
+def _sharded_runner(mesh, out_bucket: int, shared_alt: bool):
+    """Build (and cache) the shard_map'd executor for one output bucket.
+
+    ``shared_alt``: the cohort alt tape is a run-wide shared pool --
+    replicated like the proteome blob (every chip reads it with local
+    gathers) instead of carrying a per-shard alt tape.
+    """
     import jax
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
     from jax import shard_map
 
-    key = (tuple(d.id for d in mesh.devices.flat), out_bucket)  # dtype joins via retrace
+    key = (tuple(d.id for d in mesh.devices.flat), out_bucket, shared_alt)
     if key in _FN_CACHE:
         return _FN_CACHE[key]
 
     def per_shard(blob, alt, dst, srcb):
-        # leading dp axis of size 1 inside the shard
-        combined = jnp.concatenate([blob, alt[0]])
+        # sharded operands keep a leading dp axis of size 1 inside the shard
+        combined = jnp.concatenate([blob, alt if shared_alt else alt[0]])
         j = jnp.arange(out_bucket, dtype=dst.dtype)
         t = jnp.searchsorted(dst[0], j, side="right") - 1
         gidx = jnp.clip(srcb[0][t] + j - dst[0][t], 0, combined.shape[0] - 1)
@@ -47,7 +52,12 @@ def _sharded_runner(mesh, out_bucket: int):
     fn = shard_map(
         per_shard,
         mesh=mesh,
-        in_specs=(P(), P("dp", None), P("dp", None), P("dp", None)),
+        in_specs=(
+            P(),
+            P() if shared_alt else P("dp", None),
+            P("dp", None),
+            P("dp", None),
+        ),
         out_specs=P("dp", None),
     )
     jitted = jax.jit(fn)
@@ -89,21 +99,30 @@ class ShardedEngine:
             return [cpu_engine.execute_tasks(p, self.blob) for p in programs]
         task_bucket = pad_to_bucket(max(max((len(p.dst) for p in packed)), 1))
         out_bucket = pad_to_bucket(max(max((p.total_res for p in packed)), 1))
-        alt_bucket = pad_to_bucket(max(max((len(p.alt) for p in packed)), 1))
         idx_dtype = (
             np.int64
             if any(p.dst.dtype == np.int64 for p in packed)
             else np.int32
         )
+        shared_alt = (
+            packed[0].alt_key is not None
+            and all(p.alt_key == packed[0].alt_key for p in packed)
+        )
         D = n_shards
         dst = np.full((D, task_bucket), np.iinfo(idx_dtype).max, dtype=idx_dtype)
         srcb = np.zeros((D, task_bucket), dtype=idx_dtype)
-        alt = np.zeros((D, alt_bucket), dtype=np.uint8)
+        if shared_alt:
+            # run-wide alt pool: one replicated copy, like the proteome blob
+            alt = packed[0].alt
+        else:
+            alt_bucket = pad_to_bucket(max(max((len(p.alt) for p in packed)), 1))
+            alt = np.zeros((D, alt_bucket), dtype=np.uint8)
         for d, p in enumerate(packed):
             dst[d, : len(p.dst)] = p.dst
             srcb[d, : len(p.src_biased)] = p.src_biased
-            alt[d, : len(p.alt)] = p.alt
-        run = _sharded_runner(self.mesh, out_bucket)
+            if not shared_alt:
+                alt[d, : len(p.alt)] = p.alt
+        run = _sharded_runner(self.mesh, out_bucket, shared_alt)
         out = np.asarray(run(jnp.asarray(self.blob.data), alt, dst, srcb))
         results = [None] * len(programs)
         for d, (p, idxs) in enumerate(zip(packed, shard_indices)):

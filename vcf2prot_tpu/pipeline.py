@@ -296,9 +296,12 @@ def run_pipeline(cfg: PipelineConfig) -> PipelineResult:
                 _write_stats_tables(cfg.outdir, *compute_stats(int_maps))
 
         with timer.stage("Generating personalized genomes (compile)"):
+            from .compiler.haplotype import AltPool, attach_pool
+
             compile_cache: dict = {}
+            alt_pool = AltPool()
             proband_programs = [
-                compile_proband(m, ref_seqs, blob, qc, compile_cache)
+                compile_proband(m, ref_seqs, blob, qc, compile_cache, alt_pool)
                 for m in int_maps
             ]
             proband_names = [pp.proband for pp in proband_programs]
@@ -306,6 +309,7 @@ def run_pipeline(cfg: PipelineConfig) -> PipelineResult:
             for pp in proband_programs:
                 flat.append(pp.hap1)
                 flat.append(pp.hap2)
+            attach_pool(flat, alt_pool)
 
     engine = cfg.engine
     if engine is Engine.AUTO:

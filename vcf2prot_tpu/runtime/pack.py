@@ -34,6 +34,10 @@ class PackedCohort:
     total_res: int           # exact result bytes
     spans: list              # (program_index, start, end) per haplotype
     contiguous: bool         # searchsorted formulation is valid
+    # identity of a run-wide shared alt pool (id of the shared bytes object)
+    # when the programs were pool-compiled; engines key their cached
+    # combined-tape uploads on it. None => chunk-local alt tape.
+    alt_key: object = None
 
 
 def pack_cohort(programs, blob: RefBlob) -> PackedCohort:
@@ -45,6 +49,14 @@ def pack_cohort(programs, blob: RefBlob) -> PackedCohort:
     when it does not hold (malformed input with QC disabled).
     """
     n_tasks = sum(p.n_tasks for p in programs)
+    # pool-compiled programs already carry pool-absolute exe==1 sources and
+    # share ONE alt bytes object: no per-chunk rebase, no concatenation, and
+    # engines can cache the combined-tape upload across chunks (alt_key)
+    pooled = bool(programs) and all(p.pooled for p in programs)
+    if pooled and any(p.alt is not programs[0].alt for p in programs):
+        raise ValueError(
+            "pack_cohort: pooled programs reference different alt pools"
+        )
     exe = np.empty(n_tasks, dtype=np.int64)
     src = np.empty(n_tasks, dtype=np.int64)
     length = np.empty(n_tasks, dtype=np.int64)
@@ -55,19 +67,31 @@ def pack_cohort(programs, blob: RefBlob) -> PackedCohort:
     res_counter = 0
     i = 0
     for p_idx, p in enumerate(programs):
+        if p.pooled != pooled:
+            raise ValueError(
+                "pack_cohort: cannot mix pooled and non-pooled programs"
+            )
         n = p.n_tasks
         exe[i:i + n] = p.exe
-        src[i:i + n] = p.src + np.where(p.exe == 1, alt_counter, 0)
+        if pooled:
+            src[i:i + n] = p.src
+        else:
+            src[i:i + n] = p.src + np.where(p.exe == 1, alt_counter, 0)
+            alt_chunks.append(_as_u8(p.alt))
+            alt_counter += len(p.alt)
         length[i:i + n] = p.length
         dst[i:i + n] = p.dst + res_counter
         i += n
-        alt_chunks.append(_as_u8(p.alt))
         spans.append((p_idx, res_counter, res_counter + p.res_len))
-        alt_counter += len(p.alt)
         res_counter += p.res_len
-    alt = (
-        np.concatenate(alt_chunks) if alt_chunks else np.empty(0, dtype=np.uint8)
-    )
+    if pooled:
+        alt = _as_u8(programs[0].alt)
+        alt_counter = len(alt)
+    else:
+        alt = (
+            np.concatenate(alt_chunks)
+            if alt_chunks else np.empty(0, dtype=np.uint8)
+        )
     # bias alt sources past the proteome blob: combined = blob || alt
     src_biased = src + np.where(exe == 1, len(blob.data), 0)
     ends = dst + length
@@ -92,6 +116,7 @@ def pack_cohort(programs, blob: RefBlob) -> PackedCohort:
         res_counter,
         spans,
         contiguous,
+        alt_key=id(programs[0].alt) if pooled else None,
     )
 
 

@@ -71,6 +71,10 @@ class TpuEngine:
         self.device = device or jax.devices()[0]
         self._blob_dev = jax.device_put(blob.data, self.device)
         self._run_cache = {}
+        # shared-alt-pool runs upload combined = blob || pool once and reuse
+        # it for every chunk (keyed on the pool object identity)
+        self._combined_key = None
+        self._combined_dev = None
         self.validate = validate_on_device
 
     def _runner(self, out_size: int):
@@ -128,18 +132,27 @@ class TpuEngine:
         idx_dtype = packed.dst.dtype
         task_bucket = pad_to_bucket(n_tasks)
         out_bucket = pad_to_bucket(packed.total_res)
-        alt_bucket = pad_to_bucket(max(len(packed.alt), 1))
         # pad task arrays: pad tasks start past the real tape end so
         # searchsorted never selects them for real output positions
         dst = np.full(task_bucket, np.iinfo(idx_dtype).max, dtype=idx_dtype)
         dst[:n_tasks] = packed.dst
         srcb = np.zeros(task_bucket, dtype=idx_dtype)
         srcb[:n_tasks] = packed.src_biased
-        alt = np.zeros(alt_bucket, dtype=np.uint8)
-        alt[: len(packed.alt)] = packed.alt
-        combined = jnp.concatenate(
-            [self._blob_dev, jax.device_put(alt, self.device)]
-        )
+        if packed.alt_key is not None and packed.alt_key == self._combined_key:
+            combined = self._combined_dev
+        else:
+            alt_bucket = pad_to_bucket(max(len(packed.alt), 1))
+            alt = np.zeros(alt_bucket, dtype=np.uint8)
+            alt[: len(packed.alt)] = packed.alt
+            combined = jnp.concatenate(
+                [self._blob_dev, jax.device_put(alt, self.device)]
+            )
+            if packed.alt_key is not None:
+                self._combined_key = packed.alt_key
+                self._combined_dev = combined
+                # keep the pool buffer alive so the id() key cannot be reused
+                # by a different object while this cache entry exists
+                self._combined_ref = packed.alt
         run = self._runner(out_bucket)
         # the device-side slice means the later fetch only pays host-link
         # bandwidth for live bytes, not bucket padding
