@@ -1045,10 +1045,19 @@ struct RefTable {
   std::unordered_map<string_view, std::tuple<int64_t, int64_t, int64_t>> spans;
 };
 
+// One compiled group's task span within a haplotype, tagged with its alt-pool
+// segment: [task_begin, task_end) of the haplotype's task arrays, seg is the
+// registry segment whose pool offset the exe==1 sources still need added.
+struct AltGroupRef {
+  int64_t task_begin, task_end;
+  int32_t seg;
+};
+
 struct HaplotypeOut {
   vector<uint8_t> exe;
   vector<int64_t> src, len, dst;
-  string alt;
+  string alt;                    // local alt tape (only when pool == nullptr)
+  vector<AltGroupRef> alt_groups;  // pool mode: segment refs for the remap
   int64_t res_len = 0;
   vector<std::tuple<int64_t, int64_t, int64_t>> ann;  // (name_idx, start, end)
   // stats block (the -s subsystem; reference: summary.rs:10-117):
@@ -1109,6 +1118,33 @@ struct CompileMemo {
   }
 };
 
+// Cohort-level alt-pool registry: each distinct (transcript, csq-bundle)
+// group owns one pool segment holding its compiled alt bytes. Unlike the
+// CompileMemo this is ALWAYS on (no adaptive shutoff): the pool layout must
+// be a pure function of the input so the threaded compile reproduces the
+// Python oracle's pool bit-for-bit (tests assert tier equality on src and
+// pool bytes); a timing-dependent shutoff would leak thread scheduling into
+// the arrays. Lookups are cheap -- the group hash is shared with the memo and
+// full keys are only built on insert (distinct groups).
+struct AltPoolRegistry {
+  struct Entry {
+    string full_key;
+    int32_t seg;
+  };
+  static constexpr size_t kShards = 64;
+  struct Shard {
+    std::mutex mu;
+    std::unordered_map<uint64_t, vector<Entry>> map;
+  };
+  Shard shards[kShards];
+  std::mutex alts_mu;
+  std::deque<string> seg_alts;  // segment id -> alt bytes (deque: stable refs)
+
+  Shard& shard(uint64_t h) { return shards[(h >> 58) & (kShards - 1)]; }
+
+  int32_t seg_for(uint64_t h, const TranscriptGroup& g, const string& alt);
+};
+
 uint64_t group_hash(const TranscriptGroup& g) {
   uint64_t h = 14695981039346656037ULL;
   h = fnv1a(h, g.name);
@@ -1146,8 +1182,26 @@ bool key_matches(const string& full_key, const TranscriptGroup& g) {
   return pos == full_key.size();
 }
 
+int32_t AltPoolRegistry::seg_for(uint64_t h, const TranscriptGroup& g,
+                                 const string& alt) {
+  Shard& sh = shard(h);
+  std::lock_guard<std::mutex> lock(sh.mu);
+  auto& bucket = sh.map[h];
+  for (auto& e : bucket)
+    if (key_matches(e.full_key, g)) return e.seg;
+  int32_t seg;
+  {
+    std::lock_guard<std::mutex> l2(alts_mu);
+    seg = (int32_t)seg_alts.size();
+    seg_alts.push_back(alt);
+  }
+  bucket.push_back(Entry{group_full_key(g), seg});
+  return seg;
+}
+
 void compile_haplotype(const vector<string_view>& csqs, const RefTable& table,
-                       const QcFlags& qc, CompileMemo* memo, HaplotypeOut* out,
+                       const QcFlags& qc, CompileMemo* memo,
+                       AltPoolRegistry* pool, HaplotypeOut* out,
                        vector<string>* warnings, bool collect_stats) {
   if (std::getenv("VCF2PROT_NO_MEMO")) memo = nullptr;
   vector<TranscriptGroup> groups = group_by_transcript(csqs);
@@ -1170,7 +1224,7 @@ void compile_haplotype(const vector<string_view>& csqs, const RefTable& table,
     }
     auto [ref_off, ref_len, name_idx] = it->second;
     bool memo_on = memo && memo->use();
-    uint64_t h = memo_on ? group_hash(g) : 0;
+    uint64_t h = (memo_on || pool) ? group_hash(g) : 0;
     bool cached = false;
     if (memo_on) {
       auto& sh = memo->shard(h);
@@ -1211,15 +1265,26 @@ void compile_haplotype(const vector<string_view>& csqs, const RefTable& table,
       // cached failure
       continue;
     }
+    int64_t task_begin = (int64_t)out->exe.size();
     for (const Task& t : prog->tasks) {
       out->exe.push_back(t.exe);
+      // pool mode: exe==1 sources stay group-relative here; the cohort
+      // driver adds the (deterministic, first-use-ordered) pool offsets in
+      // a post-pass once every segment's offset is known
       out->src.push_back(t.src + (t.exe == 0 ? ref_off : alt_counter));
       out->len.push_back(t.len);
       out->dst.push_back(t.dst + res_counter);
     }
     out->ann.emplace_back(name_idx, res_counter, res_counter + prog->res_len);
-    out->alt.append(prog->alt);
-    alt_counter += (int64_t)prog->alt.size();
+    if (pool) {
+      if (!prog->alt.empty())
+        out->alt_groups.push_back(AltGroupRef{
+            task_begin, (int64_t)out->exe.size(),
+            pool->seg_for(h, g, prog->alt)});
+    } else {
+      out->alt.append(prog->alt);
+      alt_counter += (int64_t)prog->alt.size();
+    }
     res_counter += prog->res_len;
   }
   out->res_len = res_counter;
