@@ -22,6 +22,7 @@
 #include <atomic>
 #include <cstdint>
 #include <cstring>
+#include <deque>
 #include <fstream>
 #include <map>
 #include <memory>
@@ -1873,6 +1874,10 @@ struct CohortResult {
   vector<string> probands;
   vector<HaplotypeOut> haps;  // 2 per proband: hap1, hap2
   vector<string> warnings;
+  // pool mode: the cohort-level shared alt tape (first-use order); every
+  // haplotype's exe==1 sources are absolute offsets into it
+  string pool;
+  bool pooled = false;
 };
 
 // Jump to the Nth tab-separated field without splitting the whole line
@@ -1940,7 +1945,7 @@ CohortResult compile_cohort_impl(string_view vcf_text,
                                  const vector<string>& ref_names,
                                  const vector<int64_t>& ref_offsets,
                                  const QcFlags& qc, int n_threads,
-                                 bool collect_stats) {
+                                 bool collect_stats, bool use_pool = false) {
   const bool timing = std::getenv("VCF2PROT_NATIVE_TIMING") != nullptr;
   auto tick = std::chrono::steady_clock::now();
   auto lap = [&](const char* what) {
@@ -2139,6 +2144,8 @@ CohortResult compile_cohort_impl(string_view vcf_text,
   // --- per-haplotype compile (thread pool over haplotypes)
   result.haps.resize(2 * n_samples);
   CompileMemo memo;
+  AltPoolRegistry pool_registry;
+  AltPoolRegistry* pool = use_pool ? &pool_registry : nullptr;
   vector<vector<string>> warn_parts(2 * n_samples);
   std::exception_ptr first_error;
   std::mutex err_mu;
@@ -2150,8 +2157,8 @@ CohortResult compile_cohort_impl(string_view vcf_text,
       size_t i = next.fetch_add(1);
       if (i >= result.haps.size()) return;
       try {
-        compile_haplotype(hap_csqs[i], table, qc, &memo, &result.haps[i],
-                          &warn_parts[i], collect_stats);
+        compile_haplotype(hap_csqs[i], table, qc, &memo, pool,
+                          &result.haps[i], &warn_parts[i], collect_stats);
       } catch (...) {
         std::lock_guard<std::mutex> lock(err_mu);
         if (!first_error) first_error = std::current_exception();
@@ -2169,6 +2176,47 @@ CohortResult compile_cohort_impl(string_view vcf_text,
   }
   if (first_error) std::rethrow_exception(first_error);
   lap("haplotype compile");
+  if (use_pool) {
+    // Deterministic pool layout: registry segment ids are thread-ordered,
+    // so re-assign offsets by FIRST USE in cohort scan order (haplotypes in
+    // order, groups in transcript order) -- exactly the serial Python
+    // oracle's AltPool order -- then rebase each group's exe==1 sources.
+    result.pooled = true;
+    vector<int64_t> seg_off(pool_registry.seg_alts.size(), -1);
+    size_t total = 0;
+    for (auto& s : pool_registry.seg_alts) total += s.size();
+    result.pool.reserve(total);
+    for (auto& h : result.haps)
+      for (auto& gr : h.alt_groups)
+        if (seg_off[gr.seg] < 0) {
+          seg_off[gr.seg] = (int64_t)result.pool.size();
+          result.pool.append(pool_registry.seg_alts[gr.seg]);
+        }
+    std::atomic<size_t> next_fix{0};
+    auto fixer = [&]() {
+      while (true) {
+        size_t i = next_fix.fetch_add(1);
+        if (i >= result.haps.size()) return;
+        HaplotypeOut& h = result.haps[i];
+        for (auto& gr : h.alt_groups) {
+          int64_t off = seg_off[gr.seg];
+          for (int64_t t = gr.task_begin; t < gr.task_end; ++t)
+            if (h.exe[(size_t)t] == 1) h.src[(size_t)t] += off;
+        }
+        h.alt_groups.clear();
+        h.alt_groups.shrink_to_fit();
+      }
+    };
+    if (hw <= 1 || result.haps.size() <= 1) {
+      fixer();
+    } else {
+      vector<std::thread> threads;
+      for (unsigned t = 0; t < std::min<size_t>(hw, result.haps.size()); ++t)
+        threads.emplace_back(fixer);
+      for (auto& t : threads) t.join();
+    }
+    lap("alt-pool remap");
+  }
   for (auto& w : warn_parts)
     result.warnings.insert(result.warnings.end(), w.begin(), w.end());
   return result;
@@ -2185,7 +2233,7 @@ PyObject* bytes_from(const void* data, size_t n) {
 PyObject* py_compile_cohort(PyObject*, PyObject* args, PyObject* kwargs) {
   static const char* kwlist[] = {"vcf_path",   "ref_names", "ref_offsets",
                                  "qc_flags",   "n_threads", "collect_stats",
-                                 "ann_arrays", nullptr};
+                                 "ann_arrays", "alt_pool",  nullptr};
   const char* vcf_path = nullptr;
   PyObject* ref_names_obj = nullptr;
   PyObject* ref_offsets_obj = nullptr;  // bytes of int64[n+1]
@@ -2193,10 +2241,11 @@ PyObject* py_compile_cohort(PyObject*, PyObject* args, PyObject* kwargs) {
   int n_threads = 0;
   int collect_stats = 0;
   int ann_arrays = 0;  // emit annotations as packed arrays, not tuple lists
+  int alt_pool = 0;    // cohort-level shared alt tape (returns a 4-tuple)
   if (!PyArg_ParseTupleAndKeywords(
-          args, kwargs, "sOO|iiii", const_cast<char**>(kwlist), &vcf_path,
+          args, kwargs, "sOO|iiiii", const_cast<char**>(kwlist), &vcf_path,
           &ref_names_obj, &ref_offsets_obj, &qc_flags, &n_threads,
-          &collect_stats, &ann_arrays))
+          &collect_stats, &ann_arrays, &alt_pool))
     return nullptr;
 
   vector<string> ref_names;
@@ -2277,7 +2326,7 @@ PyObject* py_compile_cohort(PyObject*, PyObject* args, PyObject* kwargs) {
         }
       }
       result = compile_cohort_impl(text, ref_names, ref_offsets, qc, n_threads,
-                                   collect_stats != 0);
+                                   collect_stats != 0, alt_pool != 0);
     } catch (const std::exception& e) {
       err_msg = e.what();
       failed = true;
@@ -2361,6 +2410,9 @@ PyObject* py_compile_cohort(PyObject*, PyObject* args, PyObject* kwargs) {
                     PyUnicode_FromStringAndSize(result.warnings[i].data(),
                                                 (Py_ssize_t)result.warnings[i].size()));
   Py_DECREF(names_fast);
+  if (alt_pool)
+    return Py_BuildValue("(NNNN)", probands, haps, warnings,
+                         bytes_from(result.pool.data(), result.pool.size()));
   return Py_BuildValue("(NNN)", probands, haps, warnings);
 }
 

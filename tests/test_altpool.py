@@ -104,3 +104,37 @@ def test_pack_cohort_rejects_mixed_programs(tmp_path):
     blob, legacy, pooled, _pool = _compile_both(tmp_path, ref, samples)
     with pytest.raises(ValueError):
         pack_cohort([legacy[0], pooled[1]], blob)
+
+
+@pytest.mark.parametrize("seed", [3, 17, 29])
+def test_native_pool_matches_python_pool(seed, tmp_path):
+    """The threaded native tier must reproduce the serial Python AltPool
+    layout bit-for-bit: same pool bytes, same pool-absolute exe==1 sources
+    (native remaps registry segments to first-use cohort-scan order)."""
+    from vcf2prot_tpu.native_bridge import compile_cohort_native, load_native
+
+    if load_native() is None:
+        pytest.skip("native module unavailable")
+    # shared_cohort repeats variant bundles across samples -> real dedup
+    ref, samples = shared_cohort(seed, n_samples=8, n_transcripts=12)
+    blob, _legacy, pooled, pool_bytes = _compile_both(tmp_path, ref, samples)
+    nat = compile_cohort_native(
+        str(tmp_path / "c.vcf"), ref, blob, QC, alt_pool=True
+    )
+    assert nat is not None
+    _probands, nat_programs, _warnings = nat
+    assert len(nat_programs) == len(pooled)
+    assert nat_programs[0].alt == pool_bytes
+    # one shared bytes object across every native program
+    assert all(p.alt is nat_programs[0].alt for p in nat_programs)
+    for i, (a, b) in enumerate(zip(pooled, nat_programs)):
+        assert b.pooled
+        assert a.res_len == b.res_len
+        np.testing.assert_array_equal(a.exe, b.exe, err_msg=f"hap {i} exe")
+        np.testing.assert_array_equal(a.src, b.src, err_msg=f"hap {i} src")
+        np.testing.assert_array_equal(a.length, b.length)
+        np.testing.assert_array_equal(a.dst, b.dst)
+        np.testing.assert_array_equal(
+            execute_tasks(a, blob), execute_tasks(b, blob),
+            err_msg=f"hap {i} executed output",
+        )

@@ -91,12 +91,16 @@ def qc_to_flags(qc: QcConfig) -> int:
 
 def compile_cohort_native(vcf_path, ref_seqs: dict, blob: RefBlob,
                           qc: QcConfig, n_threads: int = 0,
-                          collect_stats: bool = False):
+                          collect_stats: bool = False,
+                          alt_pool: bool = False):
     """Full native parse+compile.
 
     Returns ``(probands, [HaplotypeProgram x 2*n_samples], warnings)`` --
     plus a stats block per haplotype when ``collect_stats`` -- or ``None``
-    when the native module is unavailable.
+    when the native module is unavailable. With ``alt_pool`` the programs
+    are pool-compiled: exe==1 sources are absolute offsets into one shared
+    cohort-level alt tape (the same bytes object on every program), matching
+    the Python tier's :class:`AltPool` layout bit-for-bit.
     """
     native = load_native()
     if native is None:
@@ -107,11 +111,17 @@ def compile_cohort_native(vcf_path, ref_seqs: dict, blob: RefBlob,
         offsets[i + 1] = offsets[i] + len(ref_seqs[n])
     # gzip/BGZF inputs are detected by magic and inflated natively (parallel
     # per-block for BGZF); no temp files
-    probands, haps, warnings = native.compile_cohort(
+    out = native.compile_cohort(
         str(vcf_path), names, offsets.tobytes(),
         qc_flags=qc_to_flags(qc), n_threads=n_threads,
         collect_stats=1 if collect_stats else 0, ann_arrays=1,
+        alt_pool=1 if alt_pool else 0,
     )
+    if alt_pool:
+        probands, haps, warnings, pool_bytes = out
+    else:
+        probands, haps, warnings = out
+        pool_bytes = None
     # shared per-cohort name table for the array-backed annotations and the
     # native array-writer (one blob, no per-record Python objects)
     name_blobs = [n.encode("utf-8") for n in names]
@@ -129,7 +139,8 @@ def compile_cohort_native(vcf_path, ref_seqs: dict, blob: RefBlob,
             src=np.frombuffer(src_b, dtype=np.int64),
             length=np.frombuffer(len_b, dtype=np.int64),
             dst=np.frombuffer(dst_b, dtype=np.int64),
-            alt=alt_b,
+            alt=pool_bytes if alt_pool else alt_b,
+            pooled=alt_pool,
             res_len=res_len,
             annotations=Annotations(
                 names,

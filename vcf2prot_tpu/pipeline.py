@@ -226,7 +226,7 @@ def run_pipeline(cfg: PipelineConfig) -> PipelineResult:
         with timer.stage("Parsing and compiling (native)"):
             native_result = compile_cohort_native(
                 cfg.vcf_path, ref_seqs, blob, qc, cfg.num_threads,
-                collect_stats=cfg.compute_stats,
+                collect_stats=cfg.compute_stats, alt_pool=True,
             )
 
     if native_result is not None:
