@@ -629,10 +629,32 @@ struct Task {
 const Task NULL_TASK{2, 0, 0, 0};
 
 struct TranscriptProgram {
-  vector<Task> tasks;
+  vector<Task> tasks;  // AoS during construction; cleared by finalize_soa()
+  // SoA mirror: a compiled program is emitted into every carrier haplotype
+  // (thousands of times on shared-variant cohorts), and SoA lets the
+  // emission be bulk appends + vectorized offset adds instead of a
+  // per-task AoS gather
+  vector<uint8_t> exe_v;
+  vector<int64_t> src_v, len_v, dst_v;
   string alt;
   int64_t res_len = 0;
   bool erased = false;
+
+  void finalize_soa() {
+    size_t n = tasks.size();
+    exe_v.resize(n);
+    src_v.resize(n);
+    len_v.resize(n);
+    dst_v.resize(n);
+    for (size_t i = 0; i < n; ++i) {
+      exe_v[i] = tasks[i].exe;
+      src_v[i] = tasks[i].src;
+      len_v[i] = tasks[i].len;
+      dst_v[i] = tasks[i].dst;
+    }
+    tasks.clear();
+    tasks.shrink_to_fit();
+  }
 };
 
 inline bool in_set(char c, const char* set) {
@@ -933,6 +955,7 @@ TranscriptProgram compile_transcript(vector<Mutation>& muts, int64_t ref_len,
       if (overhang > 0) lastt.len -= overhang;
     }
   }
+  prog.finalize_soa();
   return prog;
 }
 
@@ -1267,14 +1290,24 @@ void compile_haplotype(const vector<string_view>& csqs, const RefTable& table,
       continue;
     }
     int64_t task_begin = (int64_t)out->exe.size();
-    for (const Task& t : prog->tasks) {
-      out->exe.push_back(t.exe);
-      // pool mode: exe==1 sources stay group-relative here; the cohort
-      // driver adds the (deterministic, first-use-ordered) pool offsets in
-      // a post-pass once every segment's offset is known
-      out->src.push_back(t.src + (t.exe == 0 ? ref_off : alt_counter));
-      out->len.push_back(t.len);
-      out->dst.push_back(t.dst + res_counter);
+    {
+      size_t n = prog->exe_v.size();
+      size_t base = out->exe.size();
+      out->exe.insert(out->exe.end(), prog->exe_v.begin(), prog->exe_v.end());
+      out->len.insert(out->len.end(), prog->len_v.begin(), prog->len_v.end());
+      out->src.resize(base + n);
+      out->dst.resize(base + n);
+      const uint8_t* pe = prog->exe_v.data();
+      const int64_t* ps = prog->src_v.data();
+      const int64_t* pd = prog->dst_v.data();
+      int64_t* os = out->src.data() + base;
+      int64_t* od = out->dst.data() + base;
+      // pool mode: exe==1 sources stay group-relative here (alt_counter is
+      // 0); the cohort driver adds the (deterministic, first-use-ordered)
+      // pool offsets in a post-pass once every segment's offset is known
+      for (size_t k = 0; k < n; ++k)
+        os[k] = ps[k] + (pe[k] == 0 ? ref_off : alt_counter);
+      for (size_t k = 0; k < n; ++k) od[k] = pd[k] + res_counter;
     }
     out->ann.emplace_back(name_idx, res_counter, res_counter + prog->res_len);
     if (pool) {
