@@ -33,6 +33,7 @@
 #include <string_view>
 #include <thread>
 #include <unordered_map>
+#include <unordered_set>
 #include <vector>
 #include <chrono>
 #include <cstdlib>
@@ -1974,11 +1975,15 @@ string_view bcsq_payload(string_view info) {
   return info.substr(p + 5);
 }
 
+// pool_mode: 0 = local alt tapes, 1 = cohort-level shared alt pool,
+// 2 = auto (deterministic sharing probe over the first haplotypes; see
+// cohort_should_pool in compiler/haplotype.py -- the Python tier applies the
+// IDENTICAL rule so the tiers stay array-identical).
 CohortResult compile_cohort_impl(string_view vcf_text,
                                  const vector<string>& ref_names,
                                  const vector<int64_t>& ref_offsets,
                                  const QcFlags& qc, int n_threads,
-                                 bool collect_stats, bool use_pool = false) {
+                                 bool collect_stats, int pool_mode = 0) {
   const bool timing = std::getenv("VCF2PROT_NATIVE_TIMING") != nullptr;
   auto tick = std::chrono::steady_clock::now();
   auto lap = [&](const char* what) {
@@ -2174,6 +2179,33 @@ CohortResult compile_cohort_impl(string_view vcf_text,
   }
   }  // text / BCF branch
 
+  // --- pooling decision (auto mode): the shared alt pool pays for itself
+  // only when (transcript, csq-bundle) groups repeat across haplotypes --
+  // 1000G-like shared-variant cohorts -- and is pure per-group overhead on
+  // cohorts whose bundles are (near-)unique. Probe the first
+  // kPoolProbeHaplotypes haplotypes in cohort scan order and count distinct
+  // group identities: a pure function of the input, so the decision is
+  // deterministic and reproducible by the serial Python tier (which applies
+  // the same rule in compiler/haplotype.py cohort_should_pool).
+  if (pool_mode == 2) {
+    constexpr size_t kPoolProbeHaplotypes = 32;
+    size_t probe_n = std::min<size_t>(kPoolProbeHaplotypes, hap_csqs.size());
+    size_t total_groups = 0;
+    std::unordered_set<string> distinct;
+    for (size_t i = 0; i < probe_n; ++i) {
+      vector<TranscriptGroup> gs = group_by_transcript(hap_csqs[i]);
+      for (auto& g : gs) {
+        ++total_groups;
+        distinct.insert(group_full_key(g));
+      }
+    }
+    // pool iff >=10% of the probe's groups are repeats
+    pool_mode =
+        (total_groups > 0 && distinct.size() * 10 <= total_groups * 9) ? 1 : 0;
+    lap("pool probe");
+  }
+  const bool use_pool = pool_mode == 1;
+
   // --- per-haplotype compile (thread pool over haplotypes)
   result.haps.resize(2 * n_samples);
   CompileMemo memo;
@@ -2274,7 +2306,8 @@ PyObject* py_compile_cohort(PyObject*, PyObject* args, PyObject* kwargs) {
   int n_threads = 0;
   int collect_stats = 0;
   int ann_arrays = 0;  // emit annotations as packed arrays, not tuple lists
-  int alt_pool = 0;    // cohort-level shared alt tape (returns a 4-tuple)
+  int alt_pool = 0;    // 0 off, 1 shared alt pool, 2 auto-probe (1/2 return a
+                       // 4-tuple whose pool element is None when not pooled)
   if (!PyArg_ParseTupleAndKeywords(
           args, kwargs, "sOO|iiiii", const_cast<char**>(kwlist), &vcf_path,
           &ref_names_obj, &ref_offsets_obj, &qc_flags, &n_threads,
@@ -2359,7 +2392,7 @@ PyObject* py_compile_cohort(PyObject*, PyObject* args, PyObject* kwargs) {
         }
       }
       result = compile_cohort_impl(text, ref_names, ref_offsets, qc, n_threads,
-                                   collect_stats != 0, alt_pool != 0);
+                                   collect_stats != 0, alt_pool);
     } catch (const std::exception& e) {
       err_msg = e.what();
       failed = true;
@@ -2443,9 +2476,18 @@ PyObject* py_compile_cohort(PyObject*, PyObject* args, PyObject* kwargs) {
                     PyUnicode_FromStringAndSize(result.warnings[i].data(),
                                                 (Py_ssize_t)result.warnings[i].size()));
   Py_DECREF(names_fast);
-  if (alt_pool)
-    return Py_BuildValue("(NNNN)", probands, haps, warnings,
-                         bytes_from(result.pool.data(), result.pool.size()));
+  if (alt_pool) {
+    // 4th element: the shared pool bytes, or None when auto mode decided
+    // against pooling (haplotypes then carry local alt tapes)
+    PyObject* pool_obj;
+    if (result.pooled) {
+      pool_obj = bytes_from(result.pool.data(), result.pool.size());
+    } else {
+      pool_obj = Py_None;
+      Py_INCREF(pool_obj);
+    }
+    return Py_BuildValue("(NNNN)", probands, haps, warnings, pool_obj);
+  }
   return Py_BuildValue("(NNN)", probands, haps, warnings);
 }
 

@@ -106,6 +106,47 @@ def test_pack_cohort_rejects_mixed_programs(tmp_path):
         pack_cohort([legacy[0], pooled[1]], blob)
 
 
+@pytest.mark.parametrize(
+    "gen, expect_pool",
+    [(shared_cohort, True), (random_cohort, False)],
+    ids=["shared", "random"],
+)
+def test_auto_pool_probe_tiers_agree(gen, expect_pool, tmp_path):
+    """The deterministic sharing probe must make the same pooling decision
+    in both tiers: pool on shared-variant cohorts, skip on cohorts whose
+    (transcript, csq-bundle) groups are (near-)unique."""
+    from vcf2prot_tpu.compiler.haplotype import cohort_should_pool
+    from vcf2prot_tpu.native_bridge import compile_cohort_native, load_native
+
+    ref, samples = gen(seed=11, n_samples=12, n_transcripts=10)
+    vcf = tmp_path / "c.vcf"
+    write_synthetic_vcf(str(vcf), ref, samples)
+    int_maps = parse_vcf_to_int_maps(str(vcf))
+    assert cohort_should_pool(int_maps) is expect_pool
+    if load_native() is None:
+        pytest.skip("native module unavailable")
+    blob = RefBlob.from_ref_seqs(ref)
+    _p, programs, _w = compile_cohort_native(
+        str(vcf), ref, blob, QC, alt_pool="auto"
+    )
+    assert all(p.pooled is expect_pool for p in programs)
+    # either way the executed bytes match the Python oracle
+    cache = {}
+    pool = AltPool() if expect_pool else None
+    py_flat = []
+    for m in int_maps:
+        pp = compile_proband(m, ref, blob, QC, cache, pool)
+        py_flat.extend([pp.hap1, pp.hap2])
+    if pool is not None:
+        attach_pool(py_flat, pool)
+    for i, (a, b) in enumerate(zip(py_flat, programs)):
+        np.testing.assert_array_equal(a.src, b.src, err_msg=f"hap {i} src")
+        np.testing.assert_array_equal(
+            execute_tasks(a, blob), execute_tasks(b, blob),
+            err_msg=f"hap {i} executed output",
+        )
+
+
 @pytest.mark.parametrize("seed", [3, 17, 29])
 def test_native_pool_matches_python_pool(seed, tmp_path):
     """The threaded native tier must reproduce the serial Python AltPool

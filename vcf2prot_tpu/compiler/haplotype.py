@@ -143,6 +143,37 @@ class AltPool:
         return "".join(self._chunks).encode("ascii")
 
 
+# Number of leading haplotypes the pooling probe inspects (cohort scan
+# order: samples in order, hap1 then hap2). Must match the native tier's
+# kPoolProbeHaplotypes (native/vcf2prot_native.cpp compile_cohort_impl).
+POOL_PROBE_HAPLOTYPES = 32
+
+
+def cohort_should_pool(int_maps) -> bool:
+    """Deterministic pooling decision: pool iff >=10% of the transcript
+    groups in the first :data:`POOL_PROBE_HAPLOTYPES` haplotypes are repeats
+    of an already-seen (transcript, csq-bundle) identity.
+
+    The shared alt pool pays for itself on shared-variant cohorts
+    (1000G-like) and is pure per-group overhead when bundles are
+    (near-)unique, so the engine chooses per cohort. The rule is a pure
+    function of the input — both tiers apply it identically (native:
+    compile_cohort_impl's auto-probe), keeping their arrays bit-identical.
+    """
+    total = 0
+    seen = set()
+    probed = 0
+    for int_map in int_maps:
+        for hap in (int_map.mutations1, int_map.mutations2):
+            if probed >= POOL_PROBE_HAPLOTYPES:
+                return total > 0 and len(seen) * 10 <= total * 9
+            probed += 1
+            for alt_transcript in hap:
+                total += 1
+                seen.add(_group_key(alt_transcript))
+    return total > 0 and len(seen) * 10 <= total * 9
+
+
 def attach_pool(programs, pool: "AltPool | bytes") -> bytes:
     """Set the finalized pool bytes as every pooled program's alt tape.
 

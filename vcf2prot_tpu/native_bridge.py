@@ -92,19 +92,23 @@ def qc_to_flags(qc: QcConfig) -> int:
 def compile_cohort_native(vcf_path, ref_seqs: dict, blob: RefBlob,
                           qc: QcConfig, n_threads: int = 0,
                           collect_stats: bool = False,
-                          alt_pool: bool = False):
+                          alt_pool=False):
     """Full native parse+compile.
 
     Returns ``(probands, [HaplotypeProgram x 2*n_samples], warnings)`` --
     plus a stats block per haplotype when ``collect_stats`` -- or ``None``
-    when the native module is unavailable. With ``alt_pool`` the programs
-    are pool-compiled: exe==1 sources are absolute offsets into one shared
-    cohort-level alt tape (the same bytes object on every program), matching
-    the Python tier's :class:`AltPool` layout bit-for-bit.
+    when the native module is unavailable. With ``alt_pool`` truthy the
+    programs are pool-compiled: exe==1 sources are absolute offsets into one
+    shared cohort-level alt tape (the same bytes object on every program),
+    matching the Python tier's :class:`AltPool` layout bit-for-bit.
+    ``alt_pool="auto"`` lets the native sharing probe decide per cohort
+    (the same rule as :func:`..compiler.haplotype.cohort_should_pool`);
+    inspect the returned programs' ``pooled`` flag for the outcome.
     """
     native = load_native()
     if native is None:
         return None
+    pool_mode = 2 if alt_pool == "auto" else (1 if alt_pool else 0)
     names = list(ref_seqs.keys())
     offsets = np.zeros(len(names) + 1, dtype=np.int64)
     for i, n in enumerate(names):
@@ -115,13 +119,14 @@ def compile_cohort_native(vcf_path, ref_seqs: dict, blob: RefBlob,
         str(vcf_path), names, offsets.tobytes(),
         qc_flags=qc_to_flags(qc), n_threads=n_threads,
         collect_stats=1 if collect_stats else 0, ann_arrays=1,
-        alt_pool=1 if alt_pool else 0,
+        alt_pool=pool_mode,
     )
-    if alt_pool:
+    if pool_mode:
         probands, haps, warnings, pool_bytes = out
     else:
         probands, haps, warnings = out
         pool_bytes = None
+    pooled = pool_bytes is not None
     # shared per-cohort name table for the array-backed annotations and the
     # native array-writer (one blob, no per-record Python objects)
     name_blobs = [n.encode("utf-8") for n in names]
@@ -139,8 +144,8 @@ def compile_cohort_native(vcf_path, ref_seqs: dict, blob: RefBlob,
             src=np.frombuffer(src_b, dtype=np.int64),
             length=np.frombuffer(len_b, dtype=np.int64),
             dst=np.frombuffer(dst_b, dtype=np.int64),
-            alt=pool_bytes if alt_pool else alt_b,
-            pooled=alt_pool,
+            alt=pool_bytes if pooled else alt_b,
+            pooled=pooled,
             res_len=res_len,
             annotations=Annotations(
                 names,

@@ -226,7 +226,7 @@ def run_pipeline(cfg: PipelineConfig) -> PipelineResult:
         with timer.stage("Parsing and compiling (native)"):
             native_result = compile_cohort_native(
                 cfg.vcf_path, ref_seqs, blob, qc, cfg.num_threads,
-                collect_stats=cfg.compute_stats, alt_pool=True,
+                collect_stats=cfg.compute_stats, alt_pool="auto",
             )
 
     if native_result is not None:
@@ -296,10 +296,12 @@ def run_pipeline(cfg: PipelineConfig) -> PipelineResult:
                 _write_stats_tables(cfg.outdir, *compute_stats(int_maps))
 
         with timer.stage("Generating personalized genomes (compile)"):
-            from .compiler.haplotype import AltPool, attach_pool
+            from .compiler.haplotype import (
+                AltPool, attach_pool, cohort_should_pool,
+            )
 
             compile_cache: dict = {}
-            alt_pool = AltPool()
+            alt_pool = AltPool() if cohort_should_pool(int_maps) else None
             proband_programs = [
                 compile_proband(m, ref_seqs, blob, qc, compile_cache, alt_pool)
                 for m in int_maps
@@ -309,7 +311,8 @@ def run_pipeline(cfg: PipelineConfig) -> PipelineResult:
             for pp in proband_programs:
                 flat.append(pp.hap1)
                 flat.append(pp.hap2)
-            attach_pool(flat, alt_pool)
+            if alt_pool is not None:
+                attach_pool(flat, alt_pool)
 
     engine = cfg.engine
     if engine is Engine.AUTO:
