@@ -2187,6 +2187,7 @@ CohortResult compile_cohort_impl(string_view vcf_text,
   // group identities: a pure function of the input, so the decision is
   // deterministic and reproducible by the serial Python tier (which applies
   // the same rule in compiler/haplotype.py cohort_should_pool).
+  bool probe_declined = false;
   if (pool_mode == 2) {
     constexpr size_t kPoolProbeHaplotypes = 32;
     size_t probe_n = std::min<size_t>(kPoolProbeHaplotypes, hap_csqs.size());
@@ -2202,6 +2203,7 @@ CohortResult compile_cohort_impl(string_view vcf_text,
     // pool iff >=10% of the probe's groups are repeats
     pool_mode =
         (total_groups > 0 && distinct.size() * 10 <= total_groups * 9) ? 1 : 0;
+    probe_declined = pool_mode == 0;
     lap("pool probe");
   }
   const bool use_pool = pool_mode == 1;
@@ -2209,6 +2211,10 @@ CohortResult compile_cohort_impl(string_view vcf_text,
   // --- per-haplotype compile (thread pool over haplotypes)
   result.haps.resize(2 * n_samples);
   CompileMemo memo;
+  // a probe that found (near-)unique bundles also predicts a cold memo:
+  // skip its trial window (hashing + full-key inserts for the first 20k
+  // groups) instead of letting the adaptive shutoff discover the same thing
+  if (probe_declined) memo.enabled.store(false);
   AltPoolRegistry pool_registry;
   AltPoolRegistry* pool = use_pool ? &pool_registry : nullptr;
   vector<vector<string>> warn_parts(2 * n_samples);
