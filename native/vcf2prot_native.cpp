@@ -1145,12 +1145,14 @@ struct CompileMemo {
 
 // Cohort-level alt-pool registry: each distinct (transcript, csq-bundle)
 // group owns one pool segment holding its compiled alt bytes. Unlike the
-// CompileMemo this is ALWAYS on (no adaptive shutoff): the pool layout must
-// be a pure function of the input so the threaded compile reproduces the
-// Python oracle's pool bit-for-bit (tests assert tier equality on src and
-// pool bytes); a timing-dependent shutoff would leak thread scheduling into
-// the arrays. Lookups are cheap -- the group hash is shared with the memo and
-// full keys are only built on insert (distinct groups).
+// CompileMemo this has no adaptive (timing-dependent) shutoff: the pool
+// layout must be a pure function of the input so the threaded compile
+// reproduces the Python oracle's pool bit-for-bit (tests assert tier
+// equality on src and pool bytes). Whether a cohort pools AT ALL is decided
+// before compile starts by the input-deterministic sharing probe in
+// compile_cohort_impl (pool_mode 2). Lookups are cheap -- the group hash is
+// shared with the memo and full keys are only built on insert (distinct
+// groups).
 struct AltPoolRegistry {
   struct Entry {
     string full_key;
