@@ -147,6 +147,44 @@ def test_auto_pool_probe_tiers_agree(gen, expect_pool, tmp_path):
         )
 
 
+def test_auto_pool_probe_window_boundary(tmp_path):
+    """The probe inspects exactly the first POOL_PROBE_HAPLOTYPES haplotypes
+    in cohort scan order; a cohort whose head is unique but whose tail shares
+    bundles must get the same (no-pool) decision from both tiers, and the
+    tiers must still agree array-for-array."""
+    from vcf2prot_tpu.compiler.haplotype import (
+        POOL_PROBE_HAPLOTYPES, cohort_should_pool,
+    )
+    from vcf2prot_tpu.native_bridge import compile_cohort_native, load_native
+
+    ref, head = random_cohort(seed=5, n_samples=POOL_PROBE_HAPLOTYPES // 2,
+                              n_transcripts=10)
+    # tail: every later sample repeats sample 0's bundles exactly
+    first = next(iter(head.values()))
+    samples = dict(head)
+    for s in range(8):
+        samples[f"TAIL{s:04d}"] = first
+    vcf = tmp_path / "c.vcf"
+    write_synthetic_vcf(str(vcf), ref, samples)
+    int_maps = parse_vcf_to_int_maps(str(vcf))
+    assert cohort_should_pool(int_maps) is False
+    if load_native() is None:
+        pytest.skip("native module unavailable")
+    blob = RefBlob.from_ref_seqs(ref)
+    _p, programs, _w = compile_cohort_native(
+        str(vcf), ref, blob, QC, alt_pool="auto"
+    )
+    assert all(not p.pooled for p in programs)
+    cache = {}
+    py_flat = []
+    for m in int_maps:
+        pp = compile_proband(m, ref, blob, QC, cache)
+        py_flat.extend([pp.hap1, pp.hap2])
+    for i, (a, b) in enumerate(zip(py_flat, programs)):
+        np.testing.assert_array_equal(a.src, b.src, err_msg=f"hap {i} src")
+        assert a.alt == b.alt, f"hap {i} alt"
+
+
 @pytest.mark.parametrize("seed", [3, 17, 29])
 def test_native_pool_matches_python_pool(seed, tmp_path):
     """The threaded native tier must reproduce the serial Python AltPool
