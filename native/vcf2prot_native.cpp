@@ -239,7 +239,8 @@ inline bool cpu_has_avx2() {
 // consumed bit-by-bit, so per-column cost is a few ctz/branch ops instead of
 // a find() restart.
 size_t walk_sample_columns(string_view region, size_t n_samples,
-                           vector<CarrierCol>* carriers) {
+                           vector<CarrierCol>* carriers,
+                           size_t skip_cols = 0) {
   carriers->clear();
   const char* base = region.data();
   const size_t n = region.size();
@@ -255,7 +256,39 @@ size_t walk_sample_columns(string_view region, size_t n_samples,
     ++s;
   };
   size_t i = 0;
+  // sharded runs never decode the first `skip_cols` columns: count their
+  // closing tabs at popcount speed (whole 32-byte blocks, no per-separator
+  // bit walk, no carrier detection) before the carrier walk of the owned
+  // range. `s` stays the GLOBAL column index.
 #if defined(__x86_64__)
+  if (skip_cols > 0 && cpu_has_avx2()) {
+    while (i + 32 <= n && s < skip_cols) {
+      uint32_t colons;
+      uint32_t tabs = sep_masks_avx2(base + i, &colons);
+      unsigned cnt = (unsigned)__builtin_popcount(tabs);
+      if (s + cnt < skip_cols) {
+        s += cnt;
+        i += 32;
+        continue;
+      }
+      // boundary block: step tab-by-tab up to the owned range
+      while (tabs && s < skip_cols) {
+        unsigned b = static_cast<unsigned>(__builtin_ctz(tabs));
+        tabs &= tabs - 1;
+        ++s;
+        if (s == skip_cols) {
+          i += b + 1;  // resume right after the tab closing the prefix
+          goto carrier_walk;
+        }
+      }
+      i += 32;
+    }
+  }
+#endif
+  for (; i < n && s < skip_cols; ++i)
+    if (base[i] == '\t') ++s;
+#if defined(__x86_64__)
+carrier_walk:
   if (cpu_has_avx2()) {
     while (i + 32 <= n && s < n_samples) {
       uint32_t colons;
@@ -1122,21 +1155,53 @@ struct CompileMemo {
   // transcript compile, so the memo pays its way above roughly a 25% hit
   // rate; shared-variant (1000G-like) cohorts sit far above this, fully
   // random synthetic cohorts below it.
+  //
+  // Modes: kEnabled runs the full 20k-lookup trial with the 25% shutoff.
+  // kSampling (entered when the pool probe saw a near-unique head) exercises
+  // the memo on only 1 lookup in 16, so a shared tail behind an
+  // unrepresentative head can still re-enable it: after 2048 sampled
+  // lookups, a sampled hit rate >= 1/8 (sampling under-counts true sharing
+  // because a hit needs its first occurrence sampled too) promotes to
+  // kEnabled, anything lower retires to kOff. kOff is terminal and frees the
+  // maps. The memo is timing-adaptive and excluded from the bit-parity
+  // contract, so none of this affects outputs.
+  static constexpr int kEnabled = 0, kSampling = 1, kOff = 2;
   std::atomic<uint64_t> lookups{0};
   std::atomic<uint64_t> hits{0};
-  std::atomic<bool> enabled{true};
+  std::atomic<int> mode{kEnabled};
+  std::atomic<uint64_t> sample_ticks{0};
 
   Shard& shard(uint64_t h) { return shards[(h >> 58) & (kShards - 1)]; }
 
+  void turn_off() {
+    mode.store(kOff, std::memory_order_relaxed);
+    for (auto& sh : shards) {
+      std::lock_guard<std::mutex> lock(sh.mu);
+      sh.map.clear();
+    }
+  }
+
   bool use() {
-    if (!enabled.load(std::memory_order_relaxed)) return false;
+    int m = mode.load(std::memory_order_relaxed);
+    if (m == kOff) return false;
     uint64_t n = lookups.load(std::memory_order_relaxed);
-    if (n > 20000 && hits.load(std::memory_order_relaxed) * 4 < n) {
-      enabled.store(false, std::memory_order_relaxed);
-      for (auto& sh : shards) {
-        std::lock_guard<std::mutex> lock(sh.mu);
-        sh.map.clear();
+    if (m == kSampling) {
+      if (n >= 2048) {
+        if (hits.load(std::memory_order_relaxed) * 8 >= n) {
+          // fresh counters: the sampled window under-counts the true hit
+          // rate and must not feed the kEnabled 25% shutoff below
+          lookups.store(0, std::memory_order_relaxed);
+          hits.store(0, std::memory_order_relaxed);
+          mode.store(kEnabled, std::memory_order_relaxed);
+          return true;
+        }
+        turn_off();
+        return false;
       }
+      return (sample_ticks.fetch_add(1, std::memory_order_relaxed) & 15) == 0;
+    }
+    if (n > 20000 && hits.load(std::memory_order_relaxed) * 4 < n) {
+      turn_off();
       return false;
     }
     return true;
@@ -1229,9 +1294,13 @@ int32_t AltPoolRegistry::seg_for(uint64_t h, const TranscriptGroup& g,
 void compile_haplotype(const vector<string_view>& csqs, const RefTable& table,
                        const QcFlags& qc, CompileMemo* memo,
                        AltPoolRegistry* pool, HaplotypeOut* out,
-                       vector<string>* warnings, bool collect_stats) {
+                       vector<string>* warnings, bool collect_stats,
+                       vector<TranscriptGroup>* pregrouped = nullptr) {
   if (std::getenv("VCF2PROT_NO_MEMO")) memo = nullptr;
-  vector<TranscriptGroup> groups = group_by_transcript(csqs);
+  // the pooling probe already grouped the first haplotypes; reuse (consume)
+  // its vectors instead of redoing the parse + conflict dedup
+  vector<TranscriptGroup> groups =
+      pregrouped ? std::move(*pregrouped) : group_by_transcript(csqs);
   if (collect_stats) {
     out->group_names.reserve(groups.size());
     for (auto& g : groups) {
@@ -1690,10 +1759,36 @@ struct BcfRecord {
   size_t l_indiv;
 };
 
+// Build the global-sample -> owned-slot map for a sorted, deduplicated
+// sample subset (multi-host sharding decodes/compiles only owned samples,
+// the in-process analogue of the reference's `bcftools view -S` per-batch
+// sharding, automation_scripts/parallization_python.py:196-207). Shrinks
+// `probands` to the owned names (in cohort order). Returns the owned count.
+size_t apply_sample_subset(const vector<int64_t>& subset, size_t n_samples,
+                           vector<string>* probands,
+                           vector<int32_t>* owner) {
+  owner->assign(n_samples, -1);
+  size_t n_owned = 0;
+  for (int64_t g : subset) {
+    if (g < 0 || g >= (int64_t)n_samples)
+      throw FatalError("sample subset index out of range of VCF samples");
+    if ((*owner)[(size_t)g] < 0) (*owner)[(size_t)g] = (int32_t)n_owned++;
+  }
+  vector<string> owned_names(n_owned);
+  for (size_t s = 0; s < n_samples; ++s)
+    if ((*owner)[s] >= 0)
+      owned_names[(size_t)(*owner)[s]] = std::move((*probands)[s]);
+  probands->swap(owned_names);
+  return n_owned;
+}
+
 // Decode a whole BCF stream into per-(sample,hap) csq entry lists; the
 // returned string_views point into `data` (the inflated BCF bytes).
+// `subset` (sorted global sample indices, or null = all) restricts the
+// decode to owned samples: non-owned FORMAT slots are skipped, not decoded.
 size_t decode_bcf(string_view data, vector<string>* probands,
-                  vector<vector<string_view>>* hap_csqs, int n_threads) {
+                  vector<vector<string_view>>* hap_csqs, int n_threads,
+                  const vector<int64_t>* subset = nullptr) {
   BcfCursor top{reinterpret_cast<const uint8_t*>(data.data()),
                 reinterpret_cast<const uint8_t*>(data.data()) + data.size()};
   top.need(9);
@@ -1705,6 +1800,10 @@ size_t decode_bcf(string_view data, vector<string>* probands,
   int64_t bcsq_idx = bcf_header_dict(header_text, probands);
   size_t n_samples = probands->size();
   if (n_samples == 0) throw FatalError("no samples found in VCF header");
+  vector<int32_t> owner;
+  size_t n_owned = n_samples;
+  if (subset)
+    n_owned = apply_sample_subset(*subset, n_samples, probands, &owner);
   if (bcsq_idx < 0)
     throw FatalError("could not extract any records from the provided file");
 
@@ -1720,7 +1819,7 @@ size_t decode_bcf(string_view data, vector<string>* probands,
   }
 
   // phase 2: parallel per-record decode, merged in record order
-  hap_csqs->assign(2 * n_samples, {});
+  hap_csqs->assign(2 * n_owned, {});
   unsigned hw = n_threads > 0
                     ? (unsigned)n_threads
                     : std::max(1u, std::thread::hardware_concurrency());
@@ -1729,7 +1828,7 @@ size_t decode_bcf(string_view data, vector<string>* probands,
   n_chunks = std::max<size_t>(n_chunks, 1);
   size_t chunk_sz = (records.size() + n_chunks - 1) / n_chunks;
   vector<vector<vector<string_view>>> chunk_out(
-      n_chunks, vector<vector<string_view>>(2 * n_samples));
+      n_chunks, vector<vector<string_view>>(2 * n_owned));
   vector<size_t> chunk_counts(n_chunks, 0);
   std::exception_ptr dec_error;
   std::mutex dec_mu;
@@ -1816,6 +1915,12 @@ size_t decode_bcf(string_view data, vector<string>* probands,
       }
       if (vtype == 0) return true;  // MISSING for all samples
       for (size_t s = 0; s < n_samples; ++s) {
+        int32_t slot = subset ? owner[s] : (int32_t)s;
+        if (slot < 0) {
+          // not owned by this shard: skip the sample's value slots unscanned
+          iv.skip_value(vtype, vn);
+          continue;
+        }
         words.clear();
         bool negative = false;
         for (int64_t j = 0; j < vn; ++j) {
@@ -1844,12 +1949,12 @@ size_t decode_bcf(string_view data, vector<string>* probands,
         }
         for (int e : mi.hap1)
           if ((size_t)e < entries.size() && supported[e])
-            out[2 * s].push_back(entries[e]);
+            out[2 * (size_t)slot].push_back(entries[e]);
           else if ((size_t)e >= entries.size())
             throw FatalError("bitmask index out of range of BCSQ entries");
         for (int e : mi.hap2)
           if ((size_t)e < entries.size() && supported[e])
-            out[2 * s + 1].push_back(entries[e]);
+            out[2 * (size_t)slot + 1].push_back(entries[e]);
           else if ((size_t)e >= entries.size())
             throw FatalError("bitmask index out of range of BCSQ entries");
       }
@@ -1893,7 +1998,7 @@ size_t decode_bcf(string_view data, vector<string>* probands,
   if (dec_error) std::rethrow_exception(dec_error);
   size_t n_supported = 0;
   for (size_t c = 0; c < n_chunks; ++c) n_supported += chunk_counts[c];
-  for (size_t h = 0; h < 2 * n_samples; ++h) {
+  for (size_t h = 0; h < 2 * n_owned; ++h) {
     size_t total = 0;
     for (auto& co : chunk_out) total += co[h].size();
     (*hap_csqs)[h].reserve(total);
@@ -1981,11 +2086,15 @@ string_view bcsq_payload(string_view info) {
 // 2 = auto (deterministic sharing probe over the first haplotypes; see
 // cohort_should_pool in compiler/haplotype.py -- the Python tier applies the
 // IDENTICAL rule so the tiers stay array-identical).
+// subset: sorted global sample indices owned by this shard (null = all).
+// Decode and compile touch ONLY owned samples, so multi-host runs split the
+// dominant parse+compile stage instead of duplicating it per host.
 CohortResult compile_cohort_impl(string_view vcf_text,
                                  const vector<string>& ref_names,
                                  const vector<int64_t>& ref_offsets,
                                  const QcFlags& qc, int n_threads,
-                                 bool collect_stats, int pool_mode = 0) {
+                                 bool collect_stats, int pool_mode = 0,
+                                 const vector<int64_t>* subset = nullptr) {
   const bool timing = std::getenv("VCF2PROT_NATIVE_TIMING") != nullptr;
   auto tick = std::chrono::steady_clock::now();
   auto lap = [&](const char* what) {
@@ -2009,7 +2118,7 @@ CohortResult compile_cohort_impl(string_view vcf_text,
   if (looks_bcf(vcf_text)) {
     // binary VCF: decode records directly (no text transcode)
     n_supported =
-        decode_bcf(vcf_text, &result.probands, &hap_csqs, n_threads);
+        decode_bcf(vcf_text, &result.probands, &hap_csqs, n_threads, subset);
     n_samples = result.probands.size();
     if (n_supported == 0)
       throw FatalError("could not extract any records from the provided file");
@@ -2048,12 +2157,32 @@ CohortResult compile_cohort_impl(string_view vcf_text,
     body_start = pos;
   }
   if (n_samples == 0) throw FatalError("no samples found in VCF header");
+  // sharded run: decode only owned FORMAT columns; the column walk can stop
+  // at the last owned column (the truncation check then covers only the
+  // walked prefix -- acceptable, each shard validates the columns it reads)
+  vector<int32_t> owner;
+  size_t n_owned = n_samples;
+  size_t n_cols_needed = n_samples;
+  if (subset) {
+    n_owned = apply_sample_subset(*subset, n_samples, &result.probands,
+                                  &owner);
+    n_cols_needed = 0;
+    for (size_t s = 0; s < n_samples; ++s)
+      if (owner[s] >= 0) n_cols_needed = s + 1;
+  }
+  // leading non-owned columns are tab-skipped at popcount speed (contiguous
+  // shards then walk only their own column range); the truncation check
+  // covers columns up to the last owned one -- each shard validates the
+  // columns it reads
+  size_t col_skip = 0;
+  if (subset)
+    while (col_skip < n_samples && owner[col_skip] < 0) ++col_skip;
   lap("header scan");
 
   // --- fused record filter + per-sample decode, threaded over newline-
   // aligned byte ranges of the record body; chunk outputs merge in byte
   // order so per-haplotype mutation order matches a serial pass
-  hap_csqs.assign(2 * n_samples, {});
+  hap_csqs.assign(2 * n_owned, {});
   {
     string_view body = string_view(vcf_text).substr(body_start);
     unsigned dec_threads =
@@ -2078,7 +2207,7 @@ CohortResult compile_cohort_impl(string_view vcf_text,
       return nl == string_view::npos ? body.size() : nl + 1;
     };
     vector<vector<vector<string_view>>> chunk_out(
-        n_chunks, vector<vector<string_view>>(2 * n_samples));
+        n_chunks, vector<vector<string_view>>(2 * n_owned));
     vector<size_t> chunk_counts(n_chunks, 0);
     std::exception_ptr dec_error;
     std::mutex dec_mu;
@@ -2117,11 +2246,14 @@ CohortResult compile_cohort_impl(string_view vcf_text,
               "truncated VCF record: fewer sample columns than samples");
         ++col_start;
         string_view region = line.substr(col_start);
-        if (walk_sample_columns(region, n_samples, &carriers) < n_samples)
+        if (walk_sample_columns(region, n_cols_needed, &carriers, col_skip)
+            < n_cols_needed)
           throw FatalError(
               "truncated VCF record: fewer sample columns than samples");
         bool entries_split = false;
         for (const CarrierCol& cc : carriers) {
+          int32_t slot = subset ? owner[cc.sample] : (int32_t)cc.sample;
+          if (slot < 0) continue;  // not owned: skip the mask decode entirely
           decode_mask(region.substr(cc.mask_off, cc.mask_len), &mi);
           if (!mi.carrier) continue;
           if (!entries_split) {
@@ -2133,12 +2265,12 @@ CohortResult compile_cohort_impl(string_view vcf_text,
           }
           for (int e : mi.hap1)
             if ((size_t)e < entries.size() && supported[e])
-              out[2 * cc.sample].push_back(entries[e]);
+              out[2 * (size_t)slot].push_back(entries[e]);
             else if ((size_t)e >= entries.size())
               throw FatalError("bitmask index out of range of BCSQ entries");
           for (int e : mi.hap2)
             if ((size_t)e < entries.size() && supported[e])
-              out[2 * cc.sample + 1].push_back(entries[e]);
+              out[2 * (size_t)slot + 1].push_back(entries[e]);
             else if ((size_t)e >= entries.size())
               throw FatalError("bitmask index out of range of BCSQ entries");
         }
@@ -2171,7 +2303,7 @@ CohortResult compile_cohort_impl(string_view vcf_text,
     if (n_supported == 0)
       throw FatalError("could not extract any records from the provided file");
     lap("record filter + sample decode");
-    for (size_t h = 0; h < 2 * n_samples; ++h) {
+    for (size_t h = 0; h < 2 * n_owned; ++h) {
       size_t total = 0;
       for (auto& co : chunk_out) total += co[h].size();
       hap_csqs[h].reserve(total);
@@ -2190,36 +2322,85 @@ CohortResult compile_cohort_impl(string_view vcf_text,
   // deterministic and reproducible by the serial Python tier (which applies
   // the same rule in compiler/haplotype.py cohort_should_pool).
   bool probe_declined = false;
+  // the probe's grouping work (full parse + conflict dedup of the first 32
+  // haplotypes) is handed to the compile workers below instead of redone
+  vector<vector<TranscriptGroup>> probe_groups;
   if (pool_mode == 2) {
     constexpr size_t kPoolProbeHaplotypes = 32;
     size_t probe_n = std::min<size_t>(kPoolProbeHaplotypes, hap_csqs.size());
     size_t total_groups = 0;
-    std::unordered_set<string> distinct;
-    for (size_t i = 0; i < probe_n; ++i) {
-      vector<TranscriptGroup> gs = group_by_transcript(hap_csqs[i]);
-      for (auto& g : gs) {
-        ++total_groups;
-        distinct.insert(group_full_key(g));
+    probe_groups.resize(probe_n);
+    {
+      // grouping is the probe's cost; spread it over the compile threads
+      // (the vectors are handed to the compile workers below, so this work
+      // is reused, not redone). The distinct-count stays serial: hashing 32
+      // haplotypes' keys is cheap and order never affects the outcome.
+      unsigned phw = n_threads > 0
+                         ? (unsigned)n_threads
+                         : std::max(1u, std::thread::hardware_concurrency());
+      std::atomic<size_t> pnext{0};
+      auto pworker = [&]() {
+        while (true) {
+          size_t i = pnext.fetch_add(1);
+          if (i >= probe_n) return;
+          probe_groups[i] = group_by_transcript(hap_csqs[i]);
+        }
+      };
+      if (phw <= 1 || probe_n <= 1) {
+        pworker();
+      } else {
+        vector<std::thread> threads;
+        for (unsigned t = 0; t < std::min<size_t>(phw, probe_n); ++t)
+          threads.emplace_back(pworker);
+        for (auto& t : threads) t.join();
       }
     }
+    // exact distinct-identity count without building key strings: bucket by
+    // the (allocation-free) group hash, confirm with direct field equality.
+    // Same count as the Python tier's set of (name, csqs) tuples.
+    auto groups_equal = [](const TranscriptGroup& a, const TranscriptGroup& b) {
+      if (a.name != b.name || a.csqs.size() != b.csqs.size()) return false;
+      for (size_t k = 0; k < a.csqs.size(); ++k)
+        if (a.csqs[k] != b.csqs[k]) return false;
+      return true;
+    };
+    std::unordered_map<uint64_t, vector<const TranscriptGroup*>> seen;
+    size_t n_distinct = 0;
+    for (size_t i = 0; i < probe_n; ++i)
+      for (auto& g : probe_groups[i]) {
+        ++total_groups;
+        auto& bucket = seen[group_hash(g)];
+        bool dup = false;
+        for (const TranscriptGroup* o : bucket)
+          if (groups_equal(*o, g)) {
+            dup = true;
+            break;
+          }
+        if (!dup) {
+          bucket.push_back(&g);
+          ++n_distinct;
+        }
+      }
     // pool iff >=10% of the probe's groups are repeats
     pool_mode =
-        (total_groups > 0 && distinct.size() * 10 <= total_groups * 9) ? 1 : 0;
+        (total_groups > 0 && n_distinct * 10 <= total_groups * 9) ? 1 : 0;
     probe_declined = pool_mode == 0;
     lap("pool probe");
   }
   const bool use_pool = pool_mode == 1;
 
   // --- per-haplotype compile (thread pool over haplotypes)
-  result.haps.resize(2 * n_samples);
+  const size_t n_haps = hap_csqs.size();
+  result.haps.resize(n_haps);
   CompileMemo memo;
-  // a probe that found (near-)unique bundles also predicts a cold memo:
-  // skip its trial window (hashing + full-key inserts for the first 20k
-  // groups) instead of letting the adaptive shutoff discover the same thing
-  if (probe_declined) memo.enabled.store(false);
+  // a probe that found (near-)unique bundles predicts a cold memo: drop to
+  // the cheap 1-in-16 sampling mode instead of the full trial window, so a
+  // cohort whose head is unrepresentative (unique head, shared tail) can
+  // still re-enable the memo once the sampled hit rate turns out high
+  if (probe_declined) memo.mode.store(CompileMemo::kSampling);
   AltPoolRegistry pool_registry;
   AltPoolRegistry* pool = use_pool ? &pool_registry : nullptr;
-  vector<vector<string>> warn_parts(2 * n_samples);
+  vector<vector<string>> warn_parts(n_haps);
   std::exception_ptr first_error;
   std::mutex err_mu;
   unsigned hw = n_threads > 0 ? (unsigned)n_threads
@@ -2231,7 +2412,9 @@ CohortResult compile_cohort_impl(string_view vcf_text,
       if (i >= result.haps.size()) return;
       try {
         compile_haplotype(hap_csqs[i], table, qc, &memo, pool,
-                          &result.haps[i], &warn_parts[i], collect_stats);
+                          &result.haps[i], &warn_parts[i], collect_stats,
+                          i < probe_groups.size() ? &probe_groups[i]
+                                                  : nullptr);
       } catch (...) {
         std::lock_guard<std::mutex> lock(err_mu);
         if (!first_error) first_error = std::current_exception();
@@ -2306,7 +2489,8 @@ PyObject* bytes_from(const void* data, size_t n) {
 PyObject* py_compile_cohort(PyObject*, PyObject* args, PyObject* kwargs) {
   static const char* kwlist[] = {"vcf_path",   "ref_names", "ref_offsets",
                                  "qc_flags",   "n_threads", "collect_stats",
-                                 "ann_arrays", "alt_pool",  nullptr};
+                                 "ann_arrays", "alt_pool",  "sample_subset",
+                                 nullptr};
   const char* vcf_path = nullptr;
   PyObject* ref_names_obj = nullptr;
   PyObject* ref_offsets_obj = nullptr;  // bytes of int64[n+1]
@@ -2316,11 +2500,27 @@ PyObject* py_compile_cohort(PyObject*, PyObject* args, PyObject* kwargs) {
   int ann_arrays = 0;  // emit annotations as packed arrays, not tuple lists
   int alt_pool = 0;    // 0 off, 1 shared alt pool, 2 auto-probe (1/2 return a
                        // 4-tuple whose pool element is None when not pooled)
+  PyObject* subset_obj = nullptr;  // bytes of int64 global sample indices
+                                   // owned by this shard (None = all samples)
   if (!PyArg_ParseTupleAndKeywords(
-          args, kwargs, "sOO|iiiii", const_cast<char**>(kwlist), &vcf_path,
+          args, kwargs, "sOO|iiiiiO", const_cast<char**>(kwlist), &vcf_path,
           &ref_names_obj, &ref_offsets_obj, &qc_flags, &n_threads,
-          &collect_stats, &ann_arrays, &alt_pool))
+          &collect_stats, &ann_arrays, &alt_pool, &subset_obj))
     return nullptr;
+  vector<int64_t> subset;
+  bool have_subset = subset_obj && subset_obj != Py_None;
+  if (have_subset) {
+    char* buf;
+    Py_ssize_t sz;
+    if (PyBytes_AsStringAndSize(subset_obj, &buf, &sz) < 0) return nullptr;
+    if (sz % (Py_ssize_t)sizeof(int64_t) != 0) {
+      PyErr_SetString(PyExc_ValueError,
+                      "sample_subset must be bytes of int64");
+      return nullptr;
+    }
+    subset.resize((size_t)sz / sizeof(int64_t));
+    std::memcpy(subset.data(), buf, (size_t)sz);
+  }
 
   vector<string> ref_names;
   PyObject* names_fast =
@@ -2400,7 +2600,8 @@ PyObject* py_compile_cohort(PyObject*, PyObject* args, PyObject* kwargs) {
         }
       }
       result = compile_cohort_impl(text, ref_names, ref_offsets, qc, n_threads,
-                                   collect_stats != 0, alt_pool);
+                                   collect_stats != 0, alt_pool,
+                                   have_subset ? &subset : nullptr);
     } catch (const std::exception& e) {
       err_msg = e.what();
       failed = true;

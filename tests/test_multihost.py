@@ -7,13 +7,16 @@ from vcf2prot_tpu.pipeline import PipelineConfig, run_pipeline
 from vcf2prot_tpu.runtime.engine import Engine
 
 
-def test_round_robin_shards_partition():
+def test_shards_partition_contiguous_balanced():
     n = 23
     shards = [host_sample_shard(n, pi, 4) for pi in range(4)]
     flat = sorted(i for s in shards for i in s)
     assert flat == list(range(n))
     sizes = [len(s) for s in shards]
     assert max(sizes) - min(sizes) <= 1
+    # contiguity is what lets the native walk skip/stop outside the shard
+    for s in shards:
+        assert s == list(range(s[0], s[0] + len(s)))
 
 
 def test_simulated_two_host_run(tmp_path):
@@ -50,6 +53,50 @@ def test_simulated_two_host_run(tmp_path):
 
     full_files = {f: (full / f).read_bytes() for f in os.listdir(full)}
     assert union == full_files
+
+
+def test_shard_halves_native_parse_compile_time(tmp_path):
+    """The dominant parse+compile stage must SPLIT across hosts, not be
+    duplicated: a half shard's native stage time stays well under the full
+    cohort's (the subset is pushed into the native decode+compile). Shards
+    run sequentially so the 2-vCPU box doesn't conflate contention with
+    duplication; generous threshold for co-tenancy noise."""
+    import time
+
+    from vcf2prot_tpu.native_bridge import load_native
+
+    if load_native() is None:
+        import pytest
+
+        pytest.skip("native module unavailable")
+    ref, samples = random_cohort(seed=5, n_samples=192, n_transcripts=120)
+    vcf = tmp_path / "c.vcf"
+    fasta = tmp_path / "r.fasta"
+    write_synthetic_vcf(str(vcf), ref, samples)
+    write_fasta(str(fasta), ref)
+
+    from vcf2prot_tpu.compiler.qc import QC_OFF
+
+    def stage_time(sample_indices, outdir):
+        os.makedirs(outdir)
+        best = float("inf")
+        for _ in range(2):
+            res = run_pipeline(
+                PipelineConfig(
+                    vcf_path=str(vcf), fasta_path=str(fasta),
+                    outdir=str(outdir), engine=Engine.MT, qc=QC_OFF,
+                    sample_indices=sample_indices,
+                )
+            )
+            best = min(best, res.durations["Parsing and compiling (native)"])
+        return best
+
+    t_full = stage_time(None, tmp_path / "full")
+    t_half = stage_time(host_sample_shard(192, 0, 2), tmp_path / "half")
+    assert t_half < 0.8 * t_full, (
+        f"half shard parse+compile {t_half:.3f}s vs full {t_full:.3f}s -- "
+        "the shard is duplicating the dominant stage"
+    )
 
 
 def test_initialize_distributed_single_process(tmp_path):

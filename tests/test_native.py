@@ -113,6 +113,78 @@ def test_native_stats_match_python_stats(tmp_path):
     assert n_tc == p_tc
 
 
+def _assert_programs_equal(a, b, tag=""):
+    assert a.res_len == b.res_len, tag
+    assert a.annotations == b.annotations, tag
+    np.testing.assert_array_equal(a.exe, b.exe, err_msg=tag)
+    np.testing.assert_array_equal(a.src, b.src, err_msg=tag)
+    np.testing.assert_array_equal(a.length, b.length, err_msg=tag)
+    np.testing.assert_array_equal(a.dst, b.dst, err_msg=tag)
+    assert a.alt == b.alt, tag
+
+
+@pytest.mark.parametrize("seed", [2, 7])
+def test_native_sample_subset_matches_filtered_full(seed, tmp_path):
+    """Sharded decode+compile (sample_subset) must equal compiling the full
+    cohort and filtering -- for text VCF, every shard layout, stats on."""
+    ref, vcf = build_cohort_files(tmp_path, seed, n_samples=7)
+    blob = RefBlob.from_ref_seqs(ref)
+    full = compile_cohort_native(vcf, ref, blob, QC, collect_stats=True)
+    probands, programs, _w, blocks = full
+
+    for subset in ([0], [6], [1, 3, 5], [0, 2, 4, 6], list(range(7))):
+        got = compile_cohort_native(
+            vcf, ref, blob, QC, collect_stats=True, sample_subset=subset
+        )
+        g_probands, g_programs, _gw, g_blocks = got
+        assert g_probands == [probands[i] for i in subset]
+        assert len(g_programs) == 2 * len(subset)
+        for j, i in enumerate(subset):
+            for h in (0, 1):
+                _assert_programs_equal(
+                    programs[2 * i + h], g_programs[2 * j + h],
+                    tag=f"subset={subset} sample {i} hap {h}",
+                )
+                assert g_blocks[2 * j + h] == blocks[2 * i + h]
+
+
+def test_native_sample_subset_unsorted_and_bcf(tmp_path):
+    """Unsorted/duplicated subsets normalize to cohort order; the BCF decode
+    path honors the subset identically to the text path."""
+    from genbcf import write_synthetic_bcf
+
+    ref, samples = random_cohort(seed=3, n_samples=5, n_transcripts=12)
+    vcf = str(tmp_path / "cohort.vcf")
+    write_synthetic_vcf(vcf, ref, samples)
+    blob = RefBlob.from_ref_seqs(ref)
+    probands, programs, _w = compile_cohort_native(vcf, ref, blob, QC)
+
+    got = compile_cohort_native(
+        vcf, ref, blob, QC, sample_subset=[4, 1, 4, 1]
+    )
+    assert got[0] == [probands[1], probands[4]]
+    for j, i in enumerate((1, 4)):
+        for h in (0, 1):
+            _assert_programs_equal(programs[2 * i + h], got[1][2 * j + h])
+
+    bcf = str(tmp_path / "cohort.bcf")
+    write_synthetic_bcf(bcf, ref, samples)
+    full_bcf = compile_cohort_native(bcf, ref, blob, QC)
+    got_bcf = compile_cohort_native(bcf, ref, blob, QC, sample_subset=[0, 2])
+    assert got_bcf[0] == [full_bcf[0][0], full_bcf[0][2]]
+    for j, i in enumerate((0, 2)):
+        for h in (0, 1):
+            _assert_programs_equal(
+                full_bcf[1][2 * i + h], got_bcf[1][2 * j + h],
+                tag=f"bcf sample {i} hap {h}",
+            )
+
+    with pytest.raises(RuntimeError, match="out of range"):
+        compile_cohort_native(vcf, ref, blob, QC, sample_subset=[5])
+    with pytest.raises(ValueError):
+        compile_cohort_native(vcf, ref, blob, QC, sample_subset=[])
+
+
 def test_shared_cohort_memo_matches_python_and_no_memo(tmp_path, monkeypatch):
     """1000G-like shared-variant cohort: the compile memo must stay enabled
     (high hit rate), and memo / no-memo / Python-oracle outputs must be

@@ -92,7 +92,7 @@ def qc_to_flags(qc: QcConfig) -> int:
 def compile_cohort_native(vcf_path, ref_seqs: dict, blob: RefBlob,
                           qc: QcConfig, n_threads: int = 0,
                           collect_stats: bool = False,
-                          alt_pool=False):
+                          alt_pool=False, sample_subset=None):
     """Full native parse+compile.
 
     Returns ``(probands, [HaplotypeProgram x 2*n_samples], warnings)`` --
@@ -104,6 +104,12 @@ def compile_cohort_native(vcf_path, ref_seqs: dict, blob: RefBlob,
     ``alt_pool="auto"`` lets the native sharing probe decide per cohort
     (the same rule as :func:`..compiler.haplotype.cohort_should_pool`);
     inspect the returned programs' ``pooled`` flag for the outcome.
+
+    ``sample_subset`` (iterable of global sample indices) restricts decode
+    AND compile to the owned samples -- the multi-host shard path, matching
+    the reference's per-batch ``bcftools view -S`` sharding
+    (automation_scripts/parallization_python.py:196-207) without re-writing
+    the input. Results come back in cohort order of the owned samples.
     """
     native = load_native()
     if native is None:
@@ -113,13 +119,19 @@ def compile_cohort_native(vcf_path, ref_seqs: dict, blob: RefBlob,
     offsets = np.zeros(len(names) + 1, dtype=np.int64)
     for i, n in enumerate(names):
         offsets[i + 1] = offsets[i] + len(ref_seqs[n])
+    subset_bytes = None
+    if sample_subset is not None:
+        subset = np.unique(np.asarray(list(sample_subset), dtype=np.int64))
+        if subset.size == 0:
+            raise ValueError("sample_subset must name at least one sample")
+        subset_bytes = subset.tobytes()
     # gzip/BGZF inputs are detected by magic and inflated natively (parallel
     # per-block for BGZF); no temp files
     out = native.compile_cohort(
         str(vcf_path), names, offsets.tobytes(),
         qc_flags=qc_to_flags(qc), n_threads=n_threads,
         collect_stats=1 if collect_stats else 0, ann_arrays=1,
-        alt_pool=pool_mode,
+        alt_pool=pool_mode, sample_subset=subset_bytes,
     )
     if pool_mode:
         probands, haps, warnings, pool_bytes = out

@@ -52,12 +52,19 @@ def initialize_distributed(coordinator_address: str = None,
 
 def host_sample_shard(n_samples: int, process_index: int = None,
                       process_count: int = None):
-    """The sample indices this host owns (round-robin)."""
+    """The sample indices this host owns: a CONTIGUOUS block (sizes balanced
+    to within one). Contiguity matters for throughput, not correctness: the
+    native column walk tab-skips everything before the shard's first column
+    at popcount speed and stops right after its last, so each host scans only
+    ~1/N of every record's FORMAT region (round-robin would touch them all).
+    """
     import jax
 
     pi = jax.process_index() if process_index is None else process_index
     pc = jax.process_count() if process_count is None else process_count
-    return list(range(pi, n_samples, pc))
+    base, extra = divmod(n_samples, pc)
+    start = pi * base + min(pi, extra)
+    return list(range(start, start + base + (1 if pi < extra else 0)))
 
 
 def count_samples(vcf_path) -> int:

@@ -224,9 +224,14 @@ def run_pipeline(cfg: PipelineConfig) -> PipelineResult:
         from .native_bridge import compile_cohort_native
 
         with timer.stage("Parsing and compiling (native)"):
+            # sample shards are pushed INTO the decode+compile (only owned
+            # FORMAT columns are decoded, only owned haplotypes compiled) so
+            # multi-host runs split the dominant stage instead of each host
+            # redoing the full cohort
             native_result = compile_cohort_native(
                 cfg.vcf_path, ref_seqs, blob, qc, cfg.num_threads,
                 collect_stats=cfg.compute_stats, alt_pool="auto",
+                sample_subset=cfg.sample_indices,
             )
 
     if native_result is not None:
@@ -250,23 +255,9 @@ def run_pipeline(cfg: PipelineConfig) -> PipelineResult:
                 f"... and {len(seen) - shown} more distinct transcript "
                 "warnings", file=sys.stderr,
             )
+        # sample_indices were applied inside the native compile: `probands`,
+        # `flat` and `stats_blocks` already cover only the owned shard
         proband_names = probands
-        if cfg.sample_indices is not None:
-            keep = set(cfg.sample_indices)
-            proband_names = [p for i, p in enumerate(proband_names) if i in keep]
-            flat = [
-                h
-                for i in range(len(probands))
-                if i in keep
-                for h in (flat[2 * i], flat[2 * i + 1])
-            ]
-            if stats_blocks is not None:
-                stats_blocks = [
-                    b
-                    for i in range(len(probands))
-                    if i in keep
-                    for b in (stats_blocks[2 * i], stats_blocks[2 * i + 1])
-                ]
         if stats_blocks is not None:
             from .stats.native_stats import stats_from_native
 
