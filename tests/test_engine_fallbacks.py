@@ -7,15 +7,75 @@ from vcf2prot_tpu.runtime.engine import Engine, resolve_auto
 from vcf2prot_tpu.runtime.tpu_engine import TpuEngine
 
 
-def test_auto_resolves_to_host_by_default(monkeypatch):
+def _clear_cache(monkeypatch):
+    from vcf2prot_tpu.runtime import engine as engine_mod
+
+    monkeypatch.setattr(engine_mod, "_PROBE_CACHE", {})
+    return engine_mod
+
+
+def test_auto_resolves_to_host_on_cpu_platform(monkeypatch):
+    # the probe runs BY DEFAULT now; on a CPU backend it finds no device
+    _clear_cache(monkeypatch)
     monkeypatch.delenv("VCF2PROT_PREFER_DEVICE", raising=False)
     assert resolve_auto() is Engine.MT
 
 
 def test_auto_with_device_preference_on_cpu(monkeypatch):
     # prefer-device set, but the backend is CPU -> still MT
+    _clear_cache(monkeypatch)
     monkeypatch.setenv("VCF2PROT_PREFER_DEVICE", "1")
     assert resolve_auto(timeout_s=30) is Engine.MT
+
+
+def test_auto_selects_device_when_link_is_fast(monkeypatch):
+    # a probed-fast link (monkeypatched rate) selects the TPU engine with NO
+    # environment opt-in -- the probe is the default policy
+    mod = _clear_cache(monkeypatch)
+    monkeypatch.delenv("VCF2PROT_PREFER_DEVICE", raising=False)
+    monkeypatch.setattr(mod, "_probe_d2h_rate", lambda n: 1e9)
+    assert resolve_auto() is Engine.TPU
+
+
+def test_auto_slow_link_lands_on_host(monkeypatch):
+    mod = _clear_cache(monkeypatch)
+    monkeypatch.delenv("VCF2PROT_PREFER_DEVICE", raising=False)
+    monkeypatch.setattr(mod, "_probe_d2h_rate", lambda n: 5e6)  # ~forwarded
+    assert resolve_auto() is Engine.MT
+
+
+def test_auto_neoantigen_workload_prefers_device(monkeypatch):
+    # top-k-only D2H traffic: any device that completes a scalar round trip
+    # wins, regardless of bulk link bandwidth
+    mod = _clear_cache(monkeypatch)
+    monkeypatch.delenv("VCF2PROT_PREFER_DEVICE", raising=False)
+    monkeypatch.setattr(mod, "_probe_device_roundtrip", lambda: True)
+    monkeypatch.setattr(mod, "_probe_d2h_rate", lambda n: 5e6)
+    assert resolve_auto(workload="neoantigen_device") is Engine.TPU
+    # ... while the fasta workload on the same slow link stays on host
+    assert resolve_auto(workload="fasta") is Engine.MT
+
+
+def test_auto_probe_result_is_cached_per_process(monkeypatch):
+    mod = _clear_cache(monkeypatch)
+    monkeypatch.delenv("VCF2PROT_PREFER_DEVICE", raising=False)
+    calls = []
+
+    def fake_rate(n):
+        calls.append(n)
+        return 1e9
+
+    monkeypatch.setattr(mod, "_probe_d2h_rate", fake_rate)
+    assert resolve_auto() is Engine.TPU
+    assert resolve_auto() is Engine.TPU
+    assert len(calls) == 1
+
+
+def test_auto_force_host_env(monkeypatch):
+    mod = _clear_cache(monkeypatch)
+    monkeypatch.setenv("VCF2PROT_PREFER_DEVICE", "0")
+    monkeypatch.setattr(mod, "_probe_d2h_rate", lambda n: 1e9)
+    assert resolve_auto() is Engine.MT
 
 
 def test_non_contiguous_program_falls_back_to_oracle():

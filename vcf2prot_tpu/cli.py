@@ -85,6 +85,16 @@ def build_parser() -> argparse.ArgumentParser:
         ),
     )
     p.add_argument(
+        "--neoantigen_only",
+        action="store_true",
+        help=(
+            "skip FASTA output; the run's product is the neoantigen TSVs. "
+            "With -g tpu/auto this keeps the whole chain (execute, masks, "
+            "scoring, top-k) device-resident -- only [samples, top] rows "
+            "cross the device->host link"
+        ),
+    )
+    p.add_argument(
         "--neoantigen_params",
         default="",
         metavar="NPZ",
@@ -142,7 +152,10 @@ def main(argv=None) -> int:
         neoantigen_k=args.neoantigen_k,
         neoantigen_device=args.neoantigen_device,
         neoantigen_params=args.neoantigen_params,
+        neoantigen_only=args.neoantigen_only,
     )
+    if args.neoantigen_only and not args.neoantigen_k:
+        sys.exit("--neoantigen_only requires --neoantigen_k K")
     try:
         result = run_pipeline(cfg)
     except (RuntimeError, ValueError, OSError, IndexError) as err:

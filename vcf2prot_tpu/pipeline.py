@@ -67,6 +67,11 @@ class PipelineConfig:
     # .npz with trained scoring-head weights (downstream/scoring.load_params);
     # empty = the deterministic scaffold initialization
     neoantigen_params: str = ""
+    # skip FASTA output entirely: the run's product is the neoantigen TSVs.
+    # On the TPU engine this unlocks the fully device-resident path
+    # (downstream/device_resident.py) -- tapes never cross the device->host
+    # link, only [samples, top] score rows do
+    neoantigen_only: bool = False
 
 
 @dataclass
@@ -309,7 +314,15 @@ def run_pipeline(cfg: PipelineConfig) -> PipelineResult:
     if engine is Engine.AUTO:
         from .runtime.engine import resolve_auto
 
-        engine = resolve_auto()
+        # a neoantigen-only run returns just top-k scores to the host, so
+        # bulk D2H bandwidth stops being the placement criterion; any run
+        # that still writes FASTAs must fetch every tape and is judged on
+        # link bandwidth regardless of where scoring happens
+        engine = resolve_auto(
+            workload="neoantigen_device"
+            if (cfg.neoantigen_k and cfg.neoantigen_only)
+            else "fasta"
+        )
     if qc.debug_cpu_exec:
         _validate_host_programs(flat)
 
@@ -319,6 +332,27 @@ def run_pipeline(cfg: PipelineConfig) -> PipelineResult:
         from .downstream.scoring import load_params
 
         neo_params = load_params(cfg.neoantigen_params, cfg.neoantigen_k)
+
+    if cfg.neoantigen_k and cfg.neoantigen_only and engine is Engine.TPU:
+        # fully device-resident: execute + mask + score + top-k in HBM; the
+        # only device->host traffic is [samples, top] rows, so the slow-link
+        # placement argument for FASTA output does not apply
+        from .downstream.device_resident import (
+            write_device_neoantigen_reports,
+        )
+
+        with timer.stage("Neoantigen scoring (device-resident)"):
+            write_device_neoantigen_reports(
+                cfg.outdir, proband_names, flat, blob, cfg.neoantigen_k,
+                params=neo_params, chunk_res_bytes=cfg.chunk_res_bytes,
+            )
+        for p in flat:
+            result.n_haplotype_seqs += len(p.annotations)
+            result.total_output_bytes += p.res_len
+        result.n_samples = len(proband_names)
+        result.durations = dict(timer.durations)
+        return result
+
     if cfg.neoantigen_k and cfg.neoantigen_device:
         from .downstream.cohort import CohortCandidates
 
@@ -326,15 +360,16 @@ def run_pipeline(cfg: PipelineConfig) -> PipelineResult:
 
     def finish_sample(i, h1, h2):
         hap1, hap2 = flat[2 * i], flat[2 * i + 1]
-        proteome = PersonalizedProteome(
-            proband_names[i], h1, hap1.annotations, h2, hap2.annotations
-        )
-        proteome.write(
-            cfg.outdir,
-            write_all=cfg.write_all,
-            write_compressed=cfg.write_compressed,
-            ref_seqs=ref_seqs,
-        )
+        if not cfg.neoantigen_only:
+            proteome = PersonalizedProteome(
+                proband_names[i], h1, hap1.annotations, h2, hap2.annotations
+            )
+            proteome.write(
+                cfg.outdir,
+                write_all=cfg.write_all,
+                write_compressed=cfg.write_compressed,
+                ref_seqs=ref_seqs,
+            )
         if neo_acc is not None:
             neo_acc.add(i, 1, hap1, h1)
             neo_acc.add(i, 2, hap2, h2)

@@ -9,6 +9,7 @@ so existing reference invocations keep working.
 """
 from __future__ import annotations
 
+import os
 from enum import Enum
 
 
@@ -40,51 +41,87 @@ class Engine(Enum):
 # forwarded link it degrades gracefully to the host engine.
 MIN_D2H_BYTES_PER_SEC = 100e6
 
+# One probe per (workload) per process: `auto` is resolved by the pipeline
+# and by execute_programs, and benchmark loops re-enter the pipeline -- the
+# link does not change under a process, so neither should the answer (nor
+# should a second 8 s watchdog be paid).
+_PROBE_CACHE: dict = {}
 
-def resolve_auto(sample_bytes: int = 1 << 23, timeout_s: float = 8.0) -> "Engine":
-    """Pick the execution placement for the end-to-end tool.
 
-    For FASTA generation the host engine is the categorical default: every
-    output byte originates host-side (proteome blob + alt tape), the execute
-    stage is a small fraction of the pipeline, and the C++ memcpy engine
-    saturates host memory bandwidth -- so device execution can only add
-    host-link transfer cost. Set ``VCF2PROT_PREFER_DEVICE=1`` to probe the
-    link and use the TPU engine when it is consistently fast (the right
-    choice when downstream consumers are device-resident).
-
-    The probe runs under a watchdog: a flaky forwarded link can stall a fetch
-    for minutes, and a hung probe must itself count as a failed probe.
-    """
-    import os
-
-    if os.environ.get("VCF2PROT_PREFER_DEVICE") != "1":
-        return Engine.MT
-    import threading
+def _probe_d2h_rate(sample_bytes: int) -> float:
+    """Measured device->host rate (bytes/s), MINIMUM of two fetches (the link
+    must be consistently fast, not just bursting). 0.0 = no usable device."""
     import time
 
     import numpy as np
+
+    import jax
+
+    dev = jax.devices()[0]
+    if dev.platform == "cpu":
+        return 0.0
+    rates = []
+    for _ in range(2):
+        x = np.random.randint(0, 255, sample_bytes, dtype=np.uint8)
+        xd = jax.device_put(x, dev)
+        xd.block_until_ready()
+        t0 = time.perf_counter()
+        np.asarray(xd + 1)  # fresh buffer each probe, defeats caching
+        rates.append(sample_bytes / max(time.perf_counter() - t0, 1e-9))
+    return min(rates)
+
+
+def _probe_device_roundtrip() -> bool:
+    """True if a small compute + SCALAR fetch completes -- the gate for
+    workloads whose device->host traffic is top-k scores, not bulk tapes."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    dev = jax.devices()[0]
+    if dev.platform == "cpu":
+        return False
+    x = jax.device_put(np.ones(1 << 16, np.float32), dev)
+    return bool(np.isfinite(float(jnp.sum(x))))
+
+
+def resolve_auto(sample_bytes: int = 1 << 23, timeout_s: float = 8.0,
+                 workload: str = "fasta") -> "Engine":
+    """Pick the execution placement for the end-to-end tool, BY PROBING.
+
+    ``workload`` declares where the output bytes must end up:
+
+    * ``"fasta"`` -- every output byte lands on host disk, so the device only
+      wins if the device->host link sustains >= ``MIN_D2H_BYTES_PER_SEC``
+      (PCIe TPU hosts: yes; this dev environment's forwarded link: no).
+    * ``"neoantigen_device"`` -- the cohort-batched scoring path returns only
+      top-k scores; bulk D2H bandwidth is irrelevant, so any device that
+      completes a small compute + scalar-fetch round trip is preferred.
+
+    Every probe runs under a watchdog: a flaky forwarded link can stall a
+    fetch for minutes, and a hung probe must itself count as a failed probe
+    (the daemon thread is abandoned, the host engine is returned).
+
+    ``VCF2PROT_PREFER_DEVICE=1`` skips the bandwidth gate (device if the
+    round trip works); ``=0`` forces the host engine without probing.
+    """
+    pref = os.environ.get("VCF2PROT_PREFER_DEVICE")
+    if pref == "0":
+        return Engine.MT
+    key = (workload, pref)
+    if key in _PROBE_CACHE:
+        return _PROBE_CACHE[key]
+    import threading
 
     result = {"engine": Engine.MT}
 
     def probe():
         try:
-            import jax
-
-            dev = jax.devices()[0]
-            if dev.platform == "cpu":
-                return
-            rates = []
-            for _ in range(2):
-                x = np.random.randint(0, 255, sample_bytes, dtype=np.uint8)
-                xd = jax.device_put(x, dev)
-                xd.block_until_ready()
-                t0 = time.perf_counter()
-                np.asarray(xd + 1)  # fresh buffer each probe, defeats caching
-                rates.append(
-                    sample_bytes / max(time.perf_counter() - t0, 1e-9)
-                )
-            # the link must be *consistently* fast, not just bursting
-            if min(rates) >= MIN_D2H_BYTES_PER_SEC:
+            if workload == "neoantigen_device" or pref == "1":
+                if _probe_device_roundtrip():
+                    result["engine"] = Engine.TPU
+            elif _probe_d2h_rate(sample_bytes) >= MIN_D2H_BYTES_PER_SEC:
                 result["engine"] = Engine.TPU
         except Exception:
             pass
@@ -92,4 +129,7 @@ def resolve_auto(sample_bytes: int = 1 << 23, timeout_s: float = 8.0) -> "Engine
     t = threading.Thread(target=probe, daemon=True)
     t.start()
     t.join(timeout_s)
+    # a timed-out probe leaves Engine.MT; cache it -- a link that just hung
+    # for `timeout_s` is not one to re-probe every pipeline stage
+    _PROBE_CACHE[key] = result["engine"]
     return result["engine"]
