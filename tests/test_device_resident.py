@@ -20,7 +20,7 @@ from vcf2prot_tpu.compiler.qc import QcConfig
 from vcf2prot_tpu.downstream import cohort, device_resident
 from vcf2prot_tpu.downstream.device_resident import (
     DeviceNeoantigenEngine,
-    _chunk_annotation_starts,
+    _chunk_annotation_spans,
     _host_chunk_rows,
     write_device_neoantigen_reports,
 )
@@ -153,7 +153,7 @@ def test_non_tiling_annotations_return_none():
         annotations=[("T", 0, 4), ("U", 5, 8)],  # hole at byte 4
     )
     packed_spans = [(0, 0, 8), (1, 8, 16)]
-    assert _chunk_annotation_starts([prog, prog], packed_spans) is None
+    assert _chunk_annotation_spans([prog, prog], packed_spans) is None
     assert DeviceNeoantigenEngine(blob, 3).run_chunk([prog, prog]) is None
 
 

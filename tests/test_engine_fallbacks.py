@@ -93,3 +93,96 @@ def test_non_contiguous_program_falls_back_to_oracle():
     )
     out = TpuEngine(blob).execute([prog])[0]
     assert out.tobytes() == b"AB...EF"
+
+
+def _mk_good(blob_text, start, length):
+    return HaplotypeProgram(
+        exe=np.array([0], np.uint8),
+        src=np.array([start], np.int64),
+        length=np.array([length], np.int64),
+        dst=np.array([0], np.int64),
+        alt=b"",
+        res_len=length,
+        annotations=[("T", 0, length)],
+    )
+
+
+def _mk_corrupt():
+    return HaplotypeProgram(
+        exe=np.array([0, 0], np.uint8),
+        src=np.array([0, 4], np.int64),
+        length=np.array([2, 2], np.int64),
+        dst=np.array([0, 5], np.int64),  # gap -> non-contiguous
+        alt=b"",
+        res_len=7,
+        annotations=[("T", 0, 7)],
+    )
+
+
+def test_one_corrupt_program_is_isolated_not_the_whole_chunk(monkeypatch):
+    """10-program chunk, 1 corrupted: the oracle runs for exactly that one;
+    the other 9 execute on the device path."""
+    from vcf2prot_tpu.runtime import cpu_engine, tpu_engine
+
+    blob = RefBlob.from_ref_seqs({"T": "ABCDEFGH"})
+    progs = [_mk_good("T", i % 4, 4) for i in range(9)]
+    progs.insert(3, _mk_corrupt())
+    calls = []
+    real = cpu_engine.execute_tasks
+
+    def counting(p, b):
+        calls.append(p)
+        return real(p, b)
+
+    monkeypatch.setattr(tpu_engine.cpu_engine, "execute_tasks", counting)
+    outs = TpuEngine(blob).execute(progs)
+    assert len(calls) == 1 and calls[0] is progs[3]
+    assert outs[3].tobytes() == b"AB...EF"
+    for i, p in enumerate(progs):
+        if i != 3:
+            s = int(p.src[0])
+            assert outs[i].tobytes() == b"ABCDEFGH"[s:s + 4]
+
+
+def test_all_corrupt_chunk_still_full_oracle():
+    blob = RefBlob.from_ref_seqs({"T": "ABCDEFGH"})
+    outs = TpuEngine(blob).execute([_mk_corrupt(), _mk_corrupt()])
+    assert all(o.tobytes() == b"AB...EF" for o in outs)
+
+
+def test_sharded_engine_isolates_corrupt_program(monkeypatch):
+    from vcf2prot_tpu.parallel.mesh import make_mesh
+    from vcf2prot_tpu.parallel.sharded import ShardedEngine
+    from vcf2prot_tpu.runtime import cpu_engine
+
+    blob = RefBlob.from_ref_seqs({"T": "ABCDEFGH"})
+    progs = [_mk_good("T", i % 4, 4) for i in range(9)]
+    progs.insert(5, _mk_corrupt())
+    calls = []
+    real = cpu_engine.execute_tasks
+
+    def counting(p, b):
+        calls.append(p)
+        return real(p, b)
+
+    monkeypatch.setattr(cpu_engine, "execute_tasks", counting)
+    outs = ShardedEngine(blob, make_mesh()).execute(progs)
+    assert len(calls) == 1 and calls[0] is progs[5]
+    assert outs[5].tobytes() == b"AB...EF"
+    for i, p in enumerate(progs):
+        if i != 5:
+            s = int(p.src[0])
+            assert outs[i].tobytes() == b"ABCDEFGH"[s:s + 4]
+
+
+def test_zero_task_nonempty_program_is_not_contiguous():
+    from vcf2prot_tpu.runtime.pack import program_is_contiguous
+
+    empty_ok = HaplotypeProgram(res_len=0, annotations=[])
+    gap = HaplotypeProgram(res_len=3, annotations=[("T", 0, 3)])
+    assert program_is_contiguous(empty_ok)
+    assert not program_is_contiguous(gap)
+    blob = RefBlob.from_ref_seqs({"T": "ABCDEFGH"})
+    outs = TpuEngine(blob).execute([gap, _mk_good("T", 0, 4)])
+    assert outs[0].tobytes() == b"..."
+    assert outs[1].tobytes() == b"ABCD"

@@ -14,21 +14,38 @@ bytes, so the slow link stops being the bottleneck and the TPU becomes
 load-bearing end-to-end (the accelerator role the reference stubs at
 src/data_structures/InternalRep/gir.rs:283-299).
 
-Device-side reformulations (all static-shaped, jitted per power-of-two
-bucket):
+The kernel design is GATHER-FREE except the one unavoidable execute gather
+and the tiny [S, top, k] result fetch. On the real chip (measured,
+ARCHITECTURE 2.3), vectorized binary search costs ~160 ns/query (32M-query
+``searchsorted``: ~6 s) and large random gathers ~30-45 ns/lane, while
+scatter-adds at TASK granularity (~500k updates), 32M cumsums (~16 ms) and
+even 32M multi-operand sorts (~150 ms) are cheap. So every per-task ->
+per-byte mapping uses delta-scatter + cumsum ("segment expansion"), never
+per-byte binary search:
 
-* alt-byte mask without re-reading the program: a result byte is alt-sourced
-  iff its task's biased source points past the proteome blob
-  (``src_biased[t] >= blob_len`` -- pack_cohort biases exactly the exe==1
-  tasks), and it is a *mutation* iff the byte itself is not the compiler's
-  '.' filler. Identical to peptides.alt_byte_mask by construction.
-* window validity via span tiling: annotations tile each haplotype tape, so a
-  k-window starting at j is in-span iff ``span_id(j) == span_id(j+k-1)``
-  (span_id = searchsorted over the chunk's annotation starts).
-* candidate compaction: ``cumsum(mask)`` ranks + one scatter into a bucketed
-  index buffer; only candidates reach the MXU scoring head.
-* per-sample top-k: samples own contiguous tape segments (pair-aligned
-  chunks), so a [S, L] gather + ``lax.top_k`` ranks every sample at once.
+* ``expand_delta``: tape[j] = vals[t(j)] for the task/span t covering byte j,
+  computed by scattering first-difference deltas at segment starts and
+  prefix-summing. Coincident starts (zero-length tasks) telescope to the
+  last task's value, matching searchsorted(side='right')-1 semantics.
+* execute: j + expand_delta(srcb - dst) is each byte's combined-tape source;
+  one byte gather materializes the tape.
+* alt-byte mask: expand the exe flag per byte (a task is alt-sourced iff its
+  biased source points past the proteome blob, src_biased >= blob_len);
+  mutation = alt-sourced and not the compiler's '.' filler. Identical to
+  peptides.alt_byte_mask by construction.
+* window validity: expand each annotation span's END per byte; a k-window at
+  j is valid iff j+k <= span_end[j] (spans tile the tape).
+* mutated-window range query: prefix-sum the alt mask once; the in-window
+  count is a SHIFTED-SLICE difference (pad + slice), not an indexed gather.
+* scoring runs on ALL tape positions (windows are k shifted slices of the
+  tape -- no candidate compaction, no data-dependent host sync, no
+  per-chunk shape recompiles); invalid windows score NEG. The folded one-hot
+  head (scoring.score_windows) makes this one big MXU matmul, chunked by
+  lax.map to bound intermediates.
+* per-sample top-k: one stable lexicographic sort by (sample_id asc, score
+  desc); rows [seg_start[s], seg_start[s]+top) are the answer. Ties keep
+  ascending tape position (stable sort over position-ordered input),
+  matching the host path's stable argsort tie order.
 """
 from __future__ import annotations
 
@@ -44,80 +61,115 @@ from .scoring import init_params, score_windows
 NEG = np.float32(-np.inf)
 
 
+def _expand_delta(jnp, vals, starts, out_len):
+    """tape[j] = vals[t(j)] where t(j) is the LAST segment whose start is
+    <= j: scatter first-difference deltas at segment starts, prefix-sum.
+
+    Matches ``searchsorted(starts, j, 'right') - 1`` exactly (coincident
+    starts telescope so the last segment wins) at segment-count scatter cost
+    instead of per-byte binary search -- the measured difference on the real
+    chip is ~250x (ARCHITECTURE 2.3). Out-of-range starts (bucket padding)
+    are dropped.
+    """
+    v = vals.astype(jnp.int32)
+    delta = v - jnp.concatenate([jnp.zeros(1, jnp.int32), v[:-1]])
+    acc = jnp.zeros(out_len, jnp.int32).at[starts].add(delta, mode="drop")
+    return jnp.cumsum(acc)
+
+
+def _shift_left(jnp, arr, n, fill):
+    """arr[j + n] with tail ``fill`` -- a slice + pad, never a gather."""
+    n = min(n, arr.shape[0])
+    return jnp.concatenate([arr[n:], jnp.full(n, fill, arr.dtype)])
+
+
 @functools.lru_cache(maxsize=32)
-def _exec_mask_fn(out_bucket: int, k: int):
+def _dense_fn(out_bucket: int, k: int, blk: int):
+    """Execute + masks + dense scoring over one chunk, all static-shaped.
+
+    Scores EVERY tape position (invalid windows -> NEG): scoring the ~10x
+    extra windows on the MXU is cheaper than compacting candidates first
+    (compaction needs either per-byte binary search or a 32M-lane scatter,
+    both measured slow on TPU), and it removes the only data-dependent host
+    sync plus the candidate-count shape bucket.
+    """
     import jax
     import jax.numpy as jnp
 
     @jax.jit
-    def run(combined, dst, srcb, ann_starts, blob_len, total_res):
-        j = jnp.arange(out_bucket, dtype=dst.dtype)
-        t = jnp.searchsorted(dst, j, side="right") - 1
-        gidx = jnp.clip(srcb[t] + j - dst[t], 0, combined.shape[0] - 1)
-        tape = jnp.take(combined, gidx)
-        alt = (srcb[t] >= blob_len) & (tape != ord(".")) & (j < total_res)
-        # window start validity: inside one annotation span, fully real bytes
-        sid_lo = jnp.searchsorted(ann_starts, j, side="right")
-        sid_hi = jnp.searchsorted(
-            ann_starts, j + (k - 1), side="right"
-        )
+    def run(combined, dst, srcb, exe, ann_starts, ann_ends, params,
+            total_res):
+        j = jnp.arange(out_bucket, dtype=jnp.int32)
+        base = _expand_delta(jnp, srcb - dst, dst, out_bucket)
+        g = jnp.clip(base + j, 0, combined.shape[0] - 1)
+        tape = jnp.take(combined, g)
+        is_alt = _expand_delta(jnp, exe, dst, out_bucket)
+        alt = (is_alt > 0) & (tape != ord(".")) & (j < total_res)
+        # mutated-window range query via shifted slices of one prefix sum
         cum = jnp.cumsum(alt.astype(jnp.int32))
-        # mutated-window range query: alt bytes in [j, j+k) > 0
-        hi = jnp.minimum(j + (k - 1), out_bucket - 1)
-        in_win = cum[hi] - jnp.where(j > 0, cum[j - 1], 0)
-        cand = (
-            (sid_lo == sid_hi)
-            & (j + k <= total_res)
-            & (in_win > 0)
+        in_win = _shift_left(jnp, cum, k - 1, cum[-1]) - jnp.concatenate(
+            [jnp.zeros(1, jnp.int32), cum[:-1]]
         )
-        return tape, cand, jnp.sum(cand.astype(jnp.int32))
+        span_end = _expand_delta(jnp, ann_ends, ann_starts, out_bucket)
+        cand = (j + k <= span_end) & (j + k <= total_res) & (in_win > 0)
+        # windows are k shifted slices of the tape; score in lax.map blocks
+        # to bound the one-hot/hidden intermediates
+        win = jnp.stack(
+            [_shift_left(jnp, tape, i, 0) for i in range(k)], axis=1
+        )
+        scores = jax.lax.map(
+            lambda w: score_windows(w, params),
+            win.reshape(out_bucket // blk, blk, k),
+        ).reshape(out_bucket)
+        return tape, cand, jnp.where(cand, scores, NEG)
 
     return run
 
 
 @functools.lru_cache(maxsize=32)
-def _score_topk_fn(out_bucket: int, cap: int, k: int, s_bucket: int,
-                   l_bucket: int, top: int):
+def _rank_fn(out_bucket: int, k: int, s_bucket: int, top: int):
     import jax
     import jax.numpy as jnp
 
     @jax.jit
-    def run(tape, cand, params, sample_starts, sample_lens):
+    def run(tape, cand, scores, sample_starts):
         j = jnp.arange(out_bucket, dtype=jnp.int32)
-        rank = jnp.cumsum(cand.astype(jnp.int32)) - 1
-        # scatter candidate positions into the cap buffer (drop-out-of-range)
-        slot = jnp.where(cand, rank, cap)
-        pos = jnp.full(cap, out_bucket, jnp.int32).at[slot].set(
-            j, mode="drop"
+        sid = _expand_delta(
+            jnp,
+            jnp.arange(s_bucket, dtype=jnp.int32),
+            sample_starts,
+            out_bucket,
         )
-        live = pos < out_bucket
-        safe = jnp.where(live, pos, 0)
-        windows = tape[safe[:, None] + jnp.arange(k, dtype=jnp.int32)[None, :]]
-        scores = jnp.where(live, score_windows(windows, params), NEG)
-        # scatter scores back to tape coordinates; dead rows carry
-        # pos == out_bucket and land in the sentinel slot, never colliding
-        # with a live position
-        full = jnp.full(out_bucket + 1, NEG, jnp.float32).at[pos].set(scores)
-        # per-sample padded view + top-k (samples tile the tape contiguously)
-        col = jnp.arange(l_bucket, dtype=jnp.int32)[None, :]
-        idx = sample_starts[:, None] + col
-        inside = col < sample_lens[:, None]
-        mat = jnp.where(
-            inside, full[jnp.clip(idx, 0, out_bucket - 1)], NEG
+        sid = jnp.where(cand, sid, s_bucket)
+        # one stable lexicographic sort: (sample asc, score desc); stability
+        # over the position-ordered input keeps score ties in ascending tape
+        # position, the host path's tie order
+        sid_s, negsc_s, pos_s = jax.lax.sort(
+            (sid, -scores, j), num_keys=2, is_stable=True
         )
-        vals, local = jax.lax.top_k(mat, top)
-        gpos = jnp.clip(sample_starts[:, None] + local, 0, out_bucket - 1)
-        wins = tape[gpos[:, :, None] + jnp.arange(k, dtype=jnp.int32)[None, None, :]]
+        seg = jnp.searchsorted(
+            sid_s, jnp.arange(s_bucket, dtype=jnp.int32), side="left"
+        ).astype(jnp.int32)
+        idx = seg[:, None] + jnp.arange(top, dtype=jnp.int32)[None, :]
+        idx_c = jnp.clip(idx, 0, out_bucket - 1)
+        valid = (idx < out_bucket) & (
+            sid_s[idx_c] == jnp.arange(s_bucket, dtype=jnp.int32)[:, None]
+        )
+        vals = jnp.where(valid, -negsc_s[idx_c], NEG)
+        gpos = jnp.where(valid, pos_s[idx_c], 0)
+        wins = tape[
+            gpos[:, :, None] + jnp.arange(k, dtype=jnp.int32)[None, None, :]
+        ]
         return vals, gpos, wins
 
     return run
 
 
-def _chunk_annotation_starts(programs, spans):
-    """Chunk-coordinate annotation start offsets, asserting span tiling (the
+def _chunk_annotation_spans(programs, spans):
+    """Chunk-coordinate annotation (starts, ends), asserting span tiling (the
     device validity rule depends on it); returns None if tiling is violated
     (caller falls back to the host path)."""
-    starts = []
+    starts, ends = [], []
     for (p_idx, seg_start, seg_end), prog in zip(spans, programs):
         ann = prog.annotations
         if hasattr(ann, "starts"):
@@ -136,9 +188,12 @@ def _chunk_annotation_starts(programs, spans):
         elif seg_end != seg_start:
             return None
         starts.append(a_st + seg_start)
+        ends.append(a_en + seg_start)
+    if not starts:
+        return np.zeros(0, np.int32), np.zeros(0, np.int32)
     return (
-        np.concatenate(starts).astype(np.int32)
-        if starts else np.zeros(0, np.int32)
+        np.concatenate(starts).astype(np.int32),
+        np.concatenate(ends).astype(np.int32),
     )
 
 
@@ -194,55 +249,54 @@ class DeviceNeoantigenEngine:
         packed = pack_cohort(programs, self.blob)
         if not packed.contiguous or packed.total_res == 0:
             return None
-        ann_starts = _chunk_annotation_starts(programs, packed.spans)
-        if ann_starts is None:
+        if packed.dst.dtype != np.int32:
+            # >2 GiB chunks escalate the pack to int64; the int32 delta
+            # expansion would overflow -- chunk smaller or fall back
             return None
+        ann_spans = _chunk_annotation_spans(programs, packed.spans)
+        if ann_spans is None:
+            return None
+        ann_starts, ann_ends = ann_spans
         n_samples = len(programs) // 2
+        if self.k > packed.total_res:
+            # no window can fit; skip building the [out, k] window stack
+            return {i: [] for i in range(n_samples)}
         sample_starts = np.asarray(
             [packed.spans[2 * i][1] for i in range(n_samples)], np.int32
-        )
-        sample_lens = np.asarray(
-            [
-                packed.spans[2 * i + 1][2] - packed.spans[2 * i][1]
-                for i in range(n_samples)
-            ],
-            np.int32,
         )
         out_bucket = pad_to_bucket(packed.total_res)
         combined = self._combined(packed)
         idx_dtype = packed.dst.dtype
         task_bucket = pad_to_bucket(len(packed.dst))
-        dst = np.full(task_bucket, np.iinfo(idx_dtype).max, dtype=idx_dtype)
+        imax = np.iinfo(np.int32).max
+        dst = np.full(task_bucket, imax, dtype=idx_dtype)
         dst[: len(packed.dst)] = packed.dst
         srcb = np.zeros(task_bucket, dtype=idx_dtype)
         srcb[: len(packed.src_biased)] = packed.src_biased
+        # a task is alt-sourced iff pack_cohort biased its source past the
+        # proteome blob (exactly the exe==1 tasks)
+        exe = np.zeros(task_bucket, np.int8)
+        exe[: len(packed.src_biased)] = (
+            packed.src_biased >= len(self.blob.data)
+        )
         ann_bucket = pad_to_bucket(max(len(ann_starts), 1))
-        ann = np.full(ann_bucket, np.iinfo(np.int32).max, np.int32)
-        ann[: len(ann_starts)] = ann_starts
-        dst_d = jax.device_put(dst, self.device)
-        srcb_d = jax.device_put(srcb, self.device)
-        ann_d = jax.device_put(ann, self.device)
-        tape, cand, count = _exec_mask_fn(out_bucket, self.k)(
-            combined, dst_d, srcb_d, ann_d,
-            np.int32(len(self.blob.data)), np.int32(packed.total_res),
-        )
-        n_cand = int(count)  # the chunk's ONLY data-dependent host sync
-        if n_cand == 0:
-            return {i: [] for i in range(n_samples)}
-        cap = pad_to_bucket(n_cand)
+        ann_s = np.full(ann_bucket, imax, np.int32)
+        ann_s[: len(ann_starts)] = ann_starts
+        ann_e = np.zeros(ann_bucket, np.int32)
+        ann_e[: len(ann_ends)] = ann_ends
         s_bucket = pad_to_bucket(n_samples)
-        # lax.top_k needs the ranked axis >= top
-        l_bucket = pad_to_bucket(max(int(sample_lens.max()), self.top))
-        st = np.zeros(s_bucket, np.int32)
+        # padded entries scatter out of range and are dropped
+        st = np.full(s_bucket, imax, np.int32)
         st[:n_samples] = sample_starts
-        ln = np.zeros(s_bucket, np.int32)
-        ln[:n_samples] = sample_lens
-        vals, gpos, wins = _score_topk_fn(
-            out_bucket, cap, self.k, s_bucket, l_bucket, self.top
-        )(
-            tape, cand, self.params,
-            jax.device_put(st, self.device), jax.device_put(ln, self.device),
+        put = lambda a: jax.device_put(a, self.device)  # noqa: E731
+        blk = min(out_bucket, 1 << 19)
+        tape, cand, scores = _dense_fn(out_bucket, self.k, blk)(
+            combined, put(dst), put(srcb), put(exe), put(ann_s), put(ann_e),
+            self.params, np.int32(packed.total_res),
         )
+        vals, gpos, wins = _rank_fn(
+            out_bucket, self.k, s_bucket, self.top
+        )(tape, cand, scores, put(st))
         # the ONLY bulk fetch: [S, top] scores+positions, [S, top, k] bytes
         vals = np.asarray(vals)[:n_samples]
         gpos = np.asarray(gpos)[:n_samples]

@@ -73,20 +73,30 @@ def score_windows(windows, params: dict):
     """Score uint8 residue windows [m, k]; returns fp32 scores [m].
 
     jit-compatible; all matmuls run bf16 on the MXU with fp32 accumulation.
+    The per-position embedding is FOLDED into the first dense layer: since
+    both are linear, ``concat_i(onehot_i @ embed) @ w1`` equals
+    ``onehot2 @ W`` with ``W[i*V:(i+1)*V] = embed @ w1[i*E:(i+1)*E]``. That
+    turns the batch-dominant work into one [m, k*V] @ [k*V, H] matmul with a
+    contraction axis the MXU can tile (k*V = 225 for 9-mers), instead of a
+    k*V=25-deep einsum the systolic array underutilizes; the fold itself is
+    a tiny [V, E] x [k, E, H] contraction computed once per call in fp32.
     """
     import jax
     import jax.numpy as jnp
 
     lut = jnp.asarray(_alphabet_lut())
     ids = jnp.take(lut, windows.astype(jnp.int32))           # [m, k]
-    onehot = jax.nn.one_hot(ids, VOCAB, dtype=jnp.bfloat16)  # [m, k, V]
-    embed = jnp.asarray(params["embed"], jnp.bfloat16)
-    x = jnp.einsum(
-        "mkv,ve->mke", onehot, embed, preferred_element_type=jnp.float32
+    m, k = windows.shape
+    onehot = jax.nn.one_hot(ids, VOCAB, dtype=jnp.bfloat16).reshape(
+        m, k * VOCAB
     )
-    x = x.reshape(x.shape[0], -1).astype(jnp.bfloat16)       # [m, k*E]
-    w1 = jnp.asarray(params["w1"], jnp.bfloat16)
-    h = jnp.dot(x, w1, preferred_element_type=jnp.float32)
+    embed = jnp.asarray(params["embed"], jnp.float32)
+    w1 = jnp.asarray(params["w1"], jnp.float32)
+    hidden = w1.shape[1]
+    folded = jnp.einsum(
+        "ve,keh->kvh", embed, w1.reshape(k, embed.shape[1], hidden)
+    ).reshape(k * VOCAB, hidden).astype(jnp.bfloat16)
+    h = jnp.dot(onehot, folded, preferred_element_type=jnp.float32)
     h = jax.nn.relu(h + jnp.asarray(params["b1"]))
     w2 = jnp.asarray(params["w2"], jnp.bfloat16)
     out = jnp.dot(

@@ -44,9 +44,16 @@ def _sharded_runner(mesh, out_bucket: int, shared_alt: bool):
     def per_shard(blob, alt, dst, srcb):
         # sharded operands keep a leading dp axis of size 1 inside the shard
         combined = jnp.concatenate([blob, alt if shared_alt else alt[0]])
-        j = jnp.arange(out_bucket, dtype=dst.dtype)
-        t = jnp.searchsorted(dst[0], j, side="right") - 1
-        gidx = jnp.clip(srcb[0][t] + j - dst[0][t], 0, combined.shape[0] - 1)
+        # covering-task expansion by delta-scatter + cumsum (see
+        # runtime/tpu_engine.py: ~250x cheaper than per-byte searchsorted on
+        # real TPU hardware); padding tasks carry dst = iinfo.max -> dropped
+        v = srcb[0] - dst[0]
+        delta = v - jnp.concatenate([jnp.zeros(1, v.dtype), v[:-1]])
+        acc = jnp.zeros(out_bucket, v.dtype).at[dst[0]].add(
+            delta, mode="drop"
+        )
+        j = jnp.arange(out_bucket, dtype=v.dtype)
+        gidx = jnp.clip(jnp.cumsum(acc) + j, 0, combined.shape[0] - 1)
         return jnp.take(combined, gidx)[None, :]
 
     fn = shard_map(
@@ -87,13 +94,34 @@ class ShardedEngine:
     def execute(self, programs) -> list:
         import jax.numpy as jnp
 
+        from ..runtime.pack import program_is_contiguous
+
+        good_mask = [program_is_contiguous(p) for p in programs]
+        oracle_results = {}
+        if not all(good_mask):
+            # isolate malformed programs on the host oracle; the remaining
+            # cohort stays on the device path
+            from ..runtime import cpu_engine
+
+            oracle_results = {
+                i: cpu_engine.execute_tasks(programs[i], self.blob)
+                for i, g in enumerate(good_mask) if not g
+            }
+            if len(oracle_results) == len(programs):
+                return [oracle_results[i] for i in range(len(programs))]
+        device_ids = [i for i, g in enumerate(good_mask) if g]
+        device_programs = [programs[i] for i in device_ids]
         n_shards = self.mesh.devices.size
-        shard_indices = partition_programs(programs, n_shards)
+        shard_local = partition_programs(device_programs, n_shards)
+        shard_indices = [
+            [device_ids[j] for j in shard] for shard in shard_local
+        ]
         packed = [
             pack_cohort([programs[i] for i in idxs], self.blob)
             for idxs in shard_indices
         ]
         if not all(p.contiguous for p in packed):
+            # cross-program corruption survived per-program checks: oracle all
             from ..runtime import cpu_engine
 
             return [cpu_engine.execute_tasks(p, self.blob) for p in programs]
@@ -125,6 +153,8 @@ class ShardedEngine:
         run = _sharded_runner(self.mesh, out_bucket, shared_alt)
         out = np.asarray(run(jnp.asarray(self.blob.data), alt, dst, srcb))
         results = [None] * len(programs)
+        for i, tape in oracle_results.items():
+            results[i] = tape
         for d, (p, idxs) in enumerate(zip(packed, shard_indices)):
             tape = out[d]
             for (local_idx, start, end) in p.spans:

@@ -120,6 +120,22 @@ def pack_cohort(programs, blob: RefBlob) -> PackedCohort:
     )
 
 
+def program_is_contiguous(p) -> bool:
+    """Per-program form of the pack-level contiguity invariant: the tasks
+    tile [0, res_len) in order. Engines use this to excise only the
+    offending program(s) from a malformed chunk instead of de-accelerating
+    the whole chunk (a zero-task program with a non-empty tape is a gap the
+    oracle must fill with '.')."""
+    if p.n_tasks == 0:
+        return p.res_len == 0
+    ends = p.dst + p.length
+    return bool(
+        int(p.dst[0]) == 0
+        and np.all(p.dst[1:] == ends[:-1])
+        and int(ends[-1]) == p.res_len
+    )
+
+
 def pad_to_bucket(n: int, buckets=None) -> int:
     """Round up to a bucket size so jitted programs are reused across chunks.
 

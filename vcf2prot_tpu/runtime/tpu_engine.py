@@ -9,10 +9,19 @@ executes as
     t     = searchsorted(task_dst_starts, j) - 1      # task covering byte j
     out[j] = combined[src_biased[t] + j - dst[t]]     # one gather
 
--- two vectorized ops over static-shaped arrays, jitted once per shape bucket.
+-- vectorized ops over static-shaped arrays, jitted once per shape bucket.
 ``combined`` is the device-resident reference-proteome blob with the cohort
 alt tape appended; the blob is uploaded once per run and shared by every
 chunk, sample and haplotype.
+
+The covering-task expansion is NOT a per-byte binary search: on real TPU
+hardware a 32M-query ``searchsorted`` costs ~6 s (~160 ns/query; XLA lowers
+it to log2(n) serialized gather rounds) while a task-granularity
+delta-scatter + prefix sum costs ~25 ms (measured, ARCHITECTURE 2.3). So the
+per-byte source index is produced by scattering first-difference deltas of
+``src_biased - dst`` at task starts and cumsum-ing -- identical to
+``vals[searchsorted(dst, j, 'right') - 1]`` for sorted starts (coincident
+zero-length-task starts telescope to the last task, same tie rule).
 
 No data-dependent control flow, no raggedness on device: chunk totals are
 padded to power-of-two buckets and sliced exactly on the host.
@@ -23,7 +32,12 @@ import numpy as np
 
 from ..compiler.haplotype import RefBlob
 from . import cpu_engine
-from .pack import PackedCohort, pack_cohort, pad_to_bucket
+from .pack import (
+    PackedCohort,
+    pack_cohort,
+    pad_to_bucket,
+    program_is_contiguous,
+)
 
 _EXECUTE_CACHE = {}
 
@@ -40,10 +54,13 @@ def _get_jitted():
     def build(out_size: int):
         @jax.jit
         def run(combined, dst, src_biased):
-            j = jnp.arange(out_size, dtype=dst.dtype)
-            t = jnp.searchsorted(dst, j, side="right") - 1
-            gidx = src_biased[t] + j - dst[t]
-            gidx = jnp.clip(gidx, 0, combined.shape[0] - 1)
+            v = src_biased - dst
+            delta = v - jnp.concatenate([jnp.zeros(1, v.dtype), v[:-1]])
+            # bucket-padding tasks carry dst = iinfo.max and are dropped
+            acc = jnp.zeros(out_size, v.dtype).at[dst].add(delta, mode="drop")
+            base = jnp.cumsum(acc)
+            j = jnp.arange(out_size, dtype=v.dtype)
+            gidx = jnp.clip(base + j, 0, combined.shape[0] - 1)
             return jnp.take(combined, gidx)
 
         return run
@@ -94,20 +111,42 @@ class TpuEngine:
         (the fetch is the expensive leg on slow host links).
         """
         packed = pack_cohort(programs, self.blob)
-        if not packed.contiguous or packed.total_res == 0:
-            return (packed, None, programs)
-        out_dev = self._launch(packed)
-        return (packed, out_dev, programs)
+        good_mask = None
+        if not packed.contiguous:
+            # isolate the offending program(s): repack only the contiguous
+            # ones for the device and leave the rest to the host oracle,
+            # instead of de-accelerating the whole chunk
+            good_mask = [program_is_contiguous(p) for p in programs]
+            good = [p for p, g in zip(programs, good_mask) if g]
+            if not good:
+                return (packed, None, programs, None)
+            packed = pack_cohort(good, self.blob)
+            if not packed.contiguous:  # cross-program corruption: full oracle
+                return (packed, None, programs, None)
+        if packed.total_res == 0:
+            return (packed, None, programs, good_mask)
+        return (packed, self._launch(packed), programs, good_mask)
 
     def collect(self, handle) -> list:
-        packed, out_dev, programs = handle
-        if out_dev is None:
-            if packed.total_res == 0:
-                return [np.empty(0, dtype=np.uint8) for _ in programs]
-            # malformed task streams: defer to the host oracle per program
+        packed, out_dev, programs, good_mask = handle
+        if good_mask is None and out_dev is None and packed.total_res > 0:
+            # malformed beyond isolation: defer to the host oracle per program
             return [cpu_engine.execute_tasks(p, self.blob) for p in programs]
-        out = np.asarray(out_dev[: packed.total_res])
-        return [out[start:end] for (_, start, end) in packed.spans]
+        if out_dev is None:
+            dev_outs = iter(
+                np.empty(0, dtype=np.uint8) for _ in packed.spans
+            )
+        else:
+            out = np.asarray(out_dev[: packed.total_res])
+            dev_outs = iter(
+                out[start:end] for (_, start, end) in packed.spans
+            )
+        if good_mask is None:
+            return list(dev_outs)
+        return [
+            next(dev_outs) if g else cpu_engine.execute_tasks(p, self.blob)
+            for p, g in zip(programs, good_mask)
+        ]
 
     def _launch(self, packed: PackedCohort):
         """Upload + dispatch one packed chunk; returns the device array."""
