@@ -126,6 +126,41 @@ def test_device_reports_chunked_across_samples(tmp_path):
         )
 
 
+def test_multi_chunk_run_presents_one_shape_set(tmp_path, monkeypatch):
+    """A multi-chunk cohort must present exactly ONE input-shape tuple to
+    each jitted device function: distinct shapes retrace, and on the real
+    chip's remote XLA each retrace is a 1-5 minute compile. The run-wide
+    Buckets folding guarantees at most one compile per function per run."""
+    import jax.tree_util as jtu
+
+    names, progs, blob = build_cohort(seed=11, n_samples=4)
+    shapes = {"dense": set(), "rank": set()}
+    real_dense = device_resident._dense_fn
+    real_rank = device_resident._rank_fn
+
+    def spy(factory, key):
+        def make(*fargs):
+            fn = factory(*fargs)
+
+            def run(*args):
+                shapes[key].add(
+                    (fargs, str(jtu.tree_map(lambda x: np.shape(x), args)))
+                )
+                return fn(*args)
+
+            return run
+
+        return make
+
+    monkeypatch.setattr(device_resident, "_dense_fn", spy(real_dense, "dense"))
+    monkeypatch.setattr(device_resident, "_rank_fn", spy(real_rank, "rank"))
+    write_device_neoantigen_reports(
+        str(tmp_path), names, progs, blob, 9, chunk_res_bytes=1
+    )
+    assert len(shapes["dense"]) == 1, shapes["dense"]
+    assert len(shapes["rank"]) == 1, shapes["rank"]
+
+
 def test_non_contiguous_chunk_returns_none():
     blob = RefBlob.from_ref_seqs({"T": "ABCDEFGH"})
     bad = HaplotypeProgram(
@@ -163,7 +198,8 @@ def test_fallback_writes_match_host(tmp_path, monkeypatch):
     names, progs, blob = build_cohort(seed=3, n_samples=2)
     k = 9
     monkeypatch.setattr(
-        DeviceNeoantigenEngine, "run_chunk", lambda self, progs: None
+        DeviceNeoantigenEngine, "run_chunk",
+        lambda self, progs, buckets=None: None,
     )
     a = tmp_path / "host"
     b = tmp_path / "fallback"

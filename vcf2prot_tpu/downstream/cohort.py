@@ -83,7 +83,10 @@ def _bucket(m: int, floor: int = 1024) -> int:
 def _jitted_scorer(k: int, bucket: int):
     import jax
 
+    from ..utils.jaxcache import enable_persistent_cache
     from .scoring import score_windows
+
+    enable_persistent_cache()
 
     return jax.jit(score_windows)
 

@@ -50,6 +50,7 @@ per-byte binary search:
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import numpy as np
 
@@ -96,6 +97,10 @@ def _dense_fn(out_bucket: int, k: int, blk: int):
     import jax
     import jax.numpy as jnp
 
+    from ..utils.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     @jax.jit
     def run(combined, dst, srcb, exe, ann_starts, ann_ends, params,
             total_res):
@@ -130,6 +135,10 @@ def _dense_fn(out_bucket: int, k: int, blk: int):
 def _rank_fn(out_bucket: int, k: int, s_bucket: int, top: int):
     import jax
     import jax.numpy as jnp
+
+    from ..utils.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     @jax.jit
     def run(tape, cand, scores, sample_starts):
@@ -197,6 +206,47 @@ def _chunk_annotation_spans(programs, spans):
     )
 
 
+class Buckets(NamedTuple):
+    """Static device shapes for one run.
+
+    Every jitted call retraces (and on this environment's remote XLA pays a
+    1-5 MINUTE compile) per distinct input-shape tuple, so a multi-chunk
+    cohort must not present per-chunk residual shapes. The driver computes
+    one Buckets over ALL chunks (max per axis, power-of-two padded) and every
+    chunk runs at those shapes -- at most one compile per jitted function per
+    run. Scoring a padded tail costs ~ms of MXU time; a second compile costs
+    minutes.
+    """
+
+    out: int      # result-tape lanes
+    tasks: int    # task SoA rows
+    ann: int      # annotation spans
+    samples: int  # per-chunk sample count
+    alt: int      # chunk alt-tape bytes (combined = blob || alt)
+
+
+def run_buckets(programs, chunks) -> Buckets:
+    """Fold per-chunk shape needs into one run-wide Buckets."""
+    out = tasks = ann = samples = alt = 1
+    pooled = bool(programs) and all(p.pooled for p in programs)
+    for chunk in chunks:
+        progs = [programs[i] for i in chunk]
+        out = max(out, sum(p.res_len for p in progs))
+        tasks = max(tasks, sum(p.n_tasks for p in progs))
+        ann = max(ann, sum(len(p.annotations) for p in progs))
+        samples = max(samples, len(progs) // 2)
+        # pooled programs all reference ONE shared alt pool; non-pooled
+        # chunks concatenate per-program alt tapes (pack_cohort)
+        alt = max(
+            alt,
+            len(progs[0].alt) if pooled and progs
+            else sum(len(p.alt) for p in progs),
+        )
+    return Buckets(
+        *(pad_to_bucket(v) for v in (out, tasks, ann, samples, alt))
+    )
+
+
 class DeviceNeoantigenEngine:
     """Chunked device-resident executor+scorer.
 
@@ -221,13 +271,14 @@ class DeviceNeoantigenEngine:
         self._combined_dev = None
         self._combined_ref = None
 
-    def _combined(self, packed):
+    def _combined(self, packed, alt_bucket=None):
         import jax
         import jax.numpy as jnp
 
         if packed.alt_key is not None and packed.alt_key == self._combined_key:
             return self._combined_dev
-        alt_bucket = pad_to_bucket(max(len(packed.alt), 1))
+        if alt_bucket is None:
+            alt_bucket = pad_to_bucket(max(len(packed.alt), 1))
         alt = np.zeros(alt_bucket, dtype=np.uint8)
         alt[: len(packed.alt)] = packed.alt
         combined = jnp.concatenate(
@@ -239,11 +290,14 @@ class DeviceNeoantigenEngine:
             self._combined_ref = packed.alt  # pin the id() key's object
         return combined
 
-    def run_chunk(self, programs):
+    def run_chunk(self, programs, buckets: Buckets = None):
         """Device-resident results for one pair-aligned chunk; returns
         ``{local_sample_idx: [(score, hap, hap_pos, peptide), ...]}`` or
         None when the chunk must fall back to the host path (malformed pack
-        or non-tiling annotations)."""
+        or non-tiling annotations).
+
+        ``buckets`` pins the device shapes run-wide (see :class:`Buckets`);
+        None sizes them for this chunk alone."""
         import jax
 
         packed = pack_cohort(programs, self.blob)
@@ -265,9 +319,18 @@ class DeviceNeoantigenEngine:
             [packed.spans[2 * i][1] for i in range(n_samples)], np.int32
         )
         out_bucket = pad_to_bucket(packed.total_res)
-        combined = self._combined(packed)
-        idx_dtype = packed.dst.dtype
         task_bucket = pad_to_bucket(len(packed.dst))
+        ann_need = pad_to_bucket(max(len(ann_starts), 1))
+        s_need = pad_to_bucket(n_samples)
+        alt_need = pad_to_bucket(max(len(packed.alt), 1))
+        if buckets is not None:
+            out_bucket = max(out_bucket, buckets.out)
+            task_bucket = max(task_bucket, buckets.tasks)
+            ann_need = max(ann_need, buckets.ann)
+            s_need = max(s_need, buckets.samples)
+            alt_need = max(alt_need, buckets.alt)
+        combined = self._combined(packed, alt_bucket=alt_need)
+        idx_dtype = packed.dst.dtype
         imax = np.iinfo(np.int32).max
         dst = np.full(task_bucket, imax, dtype=idx_dtype)
         dst[: len(packed.dst)] = packed.dst
@@ -279,12 +342,12 @@ class DeviceNeoantigenEngine:
         exe[: len(packed.src_biased)] = (
             packed.src_biased >= len(self.blob.data)
         )
-        ann_bucket = pad_to_bucket(max(len(ann_starts), 1))
+        ann_bucket = ann_need
         ann_s = np.full(ann_bucket, imax, np.int32)
         ann_s[: len(ann_starts)] = ann_starts
         ann_e = np.zeros(ann_bucket, np.int32)
         ann_e[: len(ann_ends)] = ann_ends
-        s_bucket = pad_to_bucket(n_samples)
+        s_bucket = s_need
         # padded entries scatter out of range and are dropped
         st = np.full(s_bucket, imax, np.int32)
         st[:n_samples] = sample_starts
@@ -339,9 +402,13 @@ def write_device_neoantigen_reports(outdir, proband_names, programs, blob,
     eng = DeviceNeoantigenEngine(blob, k, params=params, top=top,
                                  device=device)
     paths = []
-    for chunk in _chunk_indices(programs, chunk_res_bytes, pair_aligned=True):
+    chunks = _chunk_indices(programs, chunk_res_bytes, pair_aligned=True)
+    # one Buckets across all chunks => at most one (multi-minute remote)
+    # compile per jitted function per run, residual chunks included
+    buckets = run_buckets(programs, chunks)
+    for chunk in chunks:
         progs = [programs[i] for i in chunk]
-        rows = eng.run_chunk(progs)
+        rows = eng.run_chunk(progs, buckets=buckets)
         if rows is None:
             rows = _host_chunk_rows(progs, blob, k, params, top)
         for local_i, sample_rows in rows.items():

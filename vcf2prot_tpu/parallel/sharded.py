@@ -37,6 +37,9 @@ def _sharded_runner(mesh, out_bucket: int, shared_alt: bool):
     from jax.sharding import PartitionSpec as P
     from jax import shard_map
 
+    from ..utils.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
     key = (tuple(d.id for d in mesh.devices.flat), out_bucket, shared_alt)
     if key in _FN_CACHE:
         return _FN_CACHE[key]

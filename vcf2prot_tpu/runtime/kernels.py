@@ -109,6 +109,9 @@ def validate_on_device(dst, length, srcb, combined_len: int, res_len: int,
     n = len(dst)
     if n == 0:
         return 0
+    from ..utils.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
     padded = ((n + _BLOCK - 1) // _BLOCK) * _BLOCK
     dst_p = np.zeros(padded, dtype=np.int32)
     len_p = np.zeros(padded, dtype=np.int32)

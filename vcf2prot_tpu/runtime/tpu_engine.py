@@ -82,6 +82,10 @@ class TpuEngine:
         import jax
         import jax.numpy as jnp
 
+        from ..utils.jaxcache import enable_persistent_cache
+
+        enable_persistent_cache()
+
         self._jnp = jnp
         self._jax = jax
         self.blob = blob
