@@ -1173,8 +1173,15 @@ struct CompileMemo {
 
   Shard& shard(uint64_t h) { return shards[(h >> 58) & (kShards - 1)]; }
 
-  void turn_off() {
-    mode.store(kOff, std::memory_order_relaxed);
+  // Every mode transition is a CAS from the mode the deciding thread
+  // OBSERVED: without it, a thread holding stale kSampling counters could
+  // read the freshly-zeroed hits right after a concurrent
+  // kSampling->kEnabled promotion and permanently turn_off() the memo the
+  // promotion just earned.
+  void turn_off(int expected) {
+    if (!mode.compare_exchange_strong(expected, kOff,
+                                      std::memory_order_relaxed))
+      return;
     for (auto& sh : shards) {
       std::lock_guard<std::mutex> lock(sh.mu);
       sh.map.clear();
@@ -1188,20 +1195,25 @@ struct CompileMemo {
     if (m == kSampling) {
       if (n >= 2048) {
         if (hits.load(std::memory_order_relaxed) * 8 >= n) {
-          // fresh counters: the sampled window under-counts the true hit
-          // rate and must not feed the kEnabled 25% shutoff below
-          lookups.store(0, std::memory_order_relaxed);
-          hits.store(0, std::memory_order_relaxed);
-          mode.store(kEnabled, std::memory_order_relaxed);
+          if (mode.compare_exchange_strong(m, kEnabled,
+                                           std::memory_order_relaxed)) {
+            // fresh counters, reset ONLY by the promoting thread: the
+            // sampled window under-counts the true hit rate and must not
+            // feed the kEnabled 25% shutoff below (the kEnabled trial
+            // needs n > 20000, so a racing reader of the zeroed counters
+            // cannot retrigger a shutoff either)
+            lookups.store(0, std::memory_order_relaxed);
+            hits.store(0, std::memory_order_relaxed);
+          }
           return true;
         }
-        turn_off();
+        turn_off(kSampling);
         return false;
       }
       return (sample_ticks.fetch_add(1, std::memory_order_relaxed) & 15) == 0;
     }
     if (n > 20000 && hits.load(std::memory_order_relaxed) * 4 < n) {
-      turn_off();
+      turn_off(kEnabled);
       return false;
     }
     return true;

@@ -15,8 +15,8 @@ def make_mesh(n_devices: int = 0):
     """A 1-D ``dp`` mesh over this host's LOCAL devices (first ``n_devices``
     of them when given).
 
-    Multi-host runs shard the *sample* axis across hosts (round-robin,
-    parallel/multihost.py) and each host executes its shard on its own local
+    Multi-host runs shard the *sample* axis across hosts (contiguous
+    balanced blocks, parallel/multihost.py) and each host executes its shard on its own local
     mesh -- a global mesh would require distributed arrays for data every
     host only holds locally.
     """

@@ -6,8 +6,9 @@ binary per sample batch (reference: automation_scripts/parallization_python.py
 
 * ``jax.distributed.initialize`` brings up the multi-host runtime;
 * the global mesh spans every chip in the slice on a single ``dp`` axis;
-* each host parses/compiles only its own sample shard (round-robin by sample
-  index -- no cross-host data exchange is needed because samples are
+* each host parses/compiles only its own sample shard (a contiguous balanced
+  block -- contiguity lets the native column walk skip unowned FORMAT
+  columns, and no cross-host data exchange is needed because samples are
   independent and the proteome blob is replicated);
 * each host writes its own shard's FASTAs locally (per-host writers, no DCN
   traffic on the output path).
@@ -78,7 +79,7 @@ def run_multihost_pipeline(cfg):
 
     The input VCF is shared (every host reads it; the scan is cheap relative
     to compilation and execution), each host compiles and executes only its
-    round-robin sample shard, and outputs land in
+    contiguous sample block, and outputs land in
     ``outdir/shard_<process_index>/``. Merge is a directory union -- sample
     files are disjoint across hosts.
     """
