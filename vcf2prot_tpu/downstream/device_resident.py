@@ -84,18 +84,86 @@ def _shift_left(jnp, arr, n, fill):
     return jnp.concatenate([arr[n:], jnp.full(n, fill, arr.dtype)])
 
 
-@functools.lru_cache(maxsize=32)
-def _dense_fn(out_bucket: int, k: int, blk: int):
+def _dense_core(combined, dst, srcb, exe, ann_starts, ann_ends, params,
+                total_res, *, out_bucket: int, k: int, blk: int):
     """Execute + masks + dense scoring over one chunk, all static-shaped.
 
     Scores EVERY tape position (invalid windows -> NEG): scoring the ~10x
     extra windows on the MXU is cheaper than compacting candidates first
     (compaction needs either per-byte binary search or a 32M-lane scatter,
     both measured slow on TPU), and it removes the only data-dependent host
-    sync plus the candidate-count shape bucket.
+    sync plus the candidate-count shape bucket. Pure jax; shared by the
+    single-device jit (:func:`_dense_fn`) and the dp-sharded chain
+    (parallel/sharded_neoantigen.py).
     """
     import jax
     import jax.numpy as jnp
+
+    j = jnp.arange(out_bucket, dtype=jnp.int32)
+    base = _expand_delta(jnp, srcb - dst, dst, out_bucket)
+    g = jnp.clip(base + j, 0, combined.shape[0] - 1)
+    tape = jnp.take(combined, g)
+    is_alt = _expand_delta(jnp, exe, dst, out_bucket)
+    alt = (is_alt > 0) & (tape != ord(".")) & (j < total_res)
+    # mutated-window range query via shifted slices of one prefix sum
+    cum = jnp.cumsum(alt.astype(jnp.int32))
+    in_win = _shift_left(jnp, cum, k - 1, cum[-1]) - jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), cum[:-1]]
+    )
+    span_end = _expand_delta(jnp, ann_ends, ann_starts, out_bucket)
+    cand = (j + k <= span_end) & (j + k <= total_res) & (in_win > 0)
+    # windows are k shifted slices of the tape; score in lax.map blocks
+    # to bound the one-hot/hidden intermediates
+    win = jnp.stack(
+        [_shift_left(jnp, tape, i, 0) for i in range(k)], axis=1
+    )
+    scores = jax.lax.map(
+        lambda w: score_windows(w, params),
+        win.reshape(out_bucket // blk, blk, k),
+    ).reshape(out_bucket)
+    return tape, cand, jnp.where(cand, scores, NEG)
+
+
+def _rank_core(tape, cand, scores, sample_starts, *, out_bucket: int, k: int,
+               s_bucket: int, top: int):
+    """Per-sample top-``top`` by one stable lexicographic sort; see
+    :func:`_dense_core` for the sharing contract."""
+    import jax
+    import jax.numpy as jnp
+
+    j = jnp.arange(out_bucket, dtype=jnp.int32)
+    sid = _expand_delta(
+        jnp,
+        jnp.arange(s_bucket, dtype=jnp.int32),
+        sample_starts,
+        out_bucket,
+    )
+    sid = jnp.where(cand, sid, s_bucket)
+    # one stable lexicographic sort: (sample asc, score desc); stability
+    # over the position-ordered input keeps score ties in ascending tape
+    # position, the host path's tie order
+    sid_s, negsc_s, pos_s = jax.lax.sort(
+        (sid, -scores, j), num_keys=2, is_stable=True
+    )
+    seg = jnp.searchsorted(
+        sid_s, jnp.arange(s_bucket, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    idx = seg[:, None] + jnp.arange(top, dtype=jnp.int32)[None, :]
+    idx_c = jnp.clip(idx, 0, out_bucket - 1)
+    valid = (idx < out_bucket) & (
+        sid_s[idx_c] == jnp.arange(s_bucket, dtype=jnp.int32)[:, None]
+    )
+    vals = jnp.where(valid, -negsc_s[idx_c], NEG)
+    gpos = jnp.where(valid, pos_s[idx_c], 0)
+    wins = tape[
+        gpos[:, :, None] + jnp.arange(k, dtype=jnp.int32)[None, None, :]
+    ]
+    return vals, gpos, wins
+
+
+@functools.lru_cache(maxsize=32)
+def _dense_fn(out_bucket: int, k: int, blk: int):
+    import jax
 
     from ..utils.jaxcache import enable_persistent_cache
 
@@ -104,29 +172,10 @@ def _dense_fn(out_bucket: int, k: int, blk: int):
     @jax.jit
     def run(combined, dst, srcb, exe, ann_starts, ann_ends, params,
             total_res):
-        j = jnp.arange(out_bucket, dtype=jnp.int32)
-        base = _expand_delta(jnp, srcb - dst, dst, out_bucket)
-        g = jnp.clip(base + j, 0, combined.shape[0] - 1)
-        tape = jnp.take(combined, g)
-        is_alt = _expand_delta(jnp, exe, dst, out_bucket)
-        alt = (is_alt > 0) & (tape != ord(".")) & (j < total_res)
-        # mutated-window range query via shifted slices of one prefix sum
-        cum = jnp.cumsum(alt.astype(jnp.int32))
-        in_win = _shift_left(jnp, cum, k - 1, cum[-1]) - jnp.concatenate(
-            [jnp.zeros(1, jnp.int32), cum[:-1]]
+        return _dense_core(
+            combined, dst, srcb, exe, ann_starts, ann_ends, params,
+            total_res, out_bucket=out_bucket, k=k, blk=blk,
         )
-        span_end = _expand_delta(jnp, ann_ends, ann_starts, out_bucket)
-        cand = (j + k <= span_end) & (j + k <= total_res) & (in_win > 0)
-        # windows are k shifted slices of the tape; score in lax.map blocks
-        # to bound the one-hot/hidden intermediates
-        win = jnp.stack(
-            [_shift_left(jnp, tape, i, 0) for i in range(k)], axis=1
-        )
-        scores = jax.lax.map(
-            lambda w: score_windows(w, params),
-            win.reshape(out_bucket // blk, blk, k),
-        ).reshape(out_bucket)
-        return tape, cand, jnp.where(cand, scores, NEG)
 
     return run
 
@@ -134,7 +183,6 @@ def _dense_fn(out_bucket: int, k: int, blk: int):
 @functools.lru_cache(maxsize=32)
 def _rank_fn(out_bucket: int, k: int, s_bucket: int, top: int):
     import jax
-    import jax.numpy as jnp
 
     from ..utils.jaxcache import enable_persistent_cache
 
@@ -142,34 +190,10 @@ def _rank_fn(out_bucket: int, k: int, s_bucket: int, top: int):
 
     @jax.jit
     def run(tape, cand, scores, sample_starts):
-        j = jnp.arange(out_bucket, dtype=jnp.int32)
-        sid = _expand_delta(
-            jnp,
-            jnp.arange(s_bucket, dtype=jnp.int32),
-            sample_starts,
-            out_bucket,
+        return _rank_core(
+            tape, cand, scores, sample_starts,
+            out_bucket=out_bucket, k=k, s_bucket=s_bucket, top=top,
         )
-        sid = jnp.where(cand, sid, s_bucket)
-        # one stable lexicographic sort: (sample asc, score desc); stability
-        # over the position-ordered input keeps score ties in ascending tape
-        # position, the host path's tie order
-        sid_s, negsc_s, pos_s = jax.lax.sort(
-            (sid, -scores, j), num_keys=2, is_stable=True
-        )
-        seg = jnp.searchsorted(
-            sid_s, jnp.arange(s_bucket, dtype=jnp.int32), side="left"
-        ).astype(jnp.int32)
-        idx = seg[:, None] + jnp.arange(top, dtype=jnp.int32)[None, :]
-        idx_c = jnp.clip(idx, 0, out_bucket - 1)
-        valid = (idx < out_bucket) & (
-            sid_s[idx_c] == jnp.arange(s_bucket, dtype=jnp.int32)[:, None]
-        )
-        vals = jnp.where(valid, -negsc_s[idx_c], NEG)
-        gpos = jnp.where(valid, pos_s[idx_c], 0)
-        wins = tape[
-            gpos[:, :, None] + jnp.arange(k, dtype=jnp.int32)[None, None, :]
-        ]
-        return vals, gpos, wins
 
     return run
 
@@ -385,13 +409,14 @@ class DeviceNeoantigenEngine:
 def write_device_neoantigen_reports(outdir, proband_names, programs, blob,
                                     k: int, params=None, top: int = 200,
                                     chunk_res_bytes: int = 256 * 1024 * 1024,
-                                    device=None):
+                                    device=None, mesh=None):
     """End-to-end device-resident neoantigen reports for a cohort.
 
     Same TSV schema and ranking as the host-batched path
     (cohort.write_reports_from_candidates); chunks that cannot run on device
     (malformed pack, non-tiling annotations) fall back to host collection +
-    the batched scorer so output coverage is never lost.
+    the batched scorer so output coverage is never lost. ``mesh`` switches
+    to the dp-sharded multi-chip chain (parallel/sharded_neoantigen.py).
     """
     import os
 
@@ -399,13 +424,22 @@ def write_device_neoantigen_reports(outdir, proband_names, programs, blob,
 
     if params is None:
         params = init_params(k)
-    eng = DeviceNeoantigenEngine(blob, k, params=params, top=top,
-                                 device=device)
-    paths = []
     chunks = _chunk_indices(programs, chunk_res_bytes, pair_aligned=True)
     # one Buckets across all chunks => at most one (multi-minute remote)
     # compile per jitted function per run, residual chunks included
-    buckets = run_buckets(programs, chunks)
+    if mesh is not None:
+        from ..parallel.sharded_neoantigen import (
+            ShardedNeoantigenEngine,
+            shard_buckets,
+        )
+
+        eng = ShardedNeoantigenEngine(blob, mesh, k, params=params, top=top)
+        buckets = shard_buckets(programs, chunks, mesh.devices.size)
+    else:
+        eng = DeviceNeoantigenEngine(blob, k, params=params, top=top,
+                                     device=device)
+        buckets = run_buckets(programs, chunks)
+    paths = []
     for chunk in chunks:
         progs = [programs[i] for i in chunk]
         rows = eng.run_chunk(progs, buckets=buckets)

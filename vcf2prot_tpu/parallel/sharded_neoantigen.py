@@ -1,0 +1,241 @@
+"""Multi-chip device-resident neoantigen chain: dp-sharded samples.
+
+Extends the single-device dense chain (downstream/device_resident.py) across
+a ``dp`` mesh the same way the FASTA executor scales (parallel/sharded.py):
+
+* samples (haplotype PAIRS) partition across devices, balanced by result
+  bytes -- samples are independent, so the chain is embarrassingly parallel
+  and no collective appears anywhere in it;
+* the reference-proteome blob (and a run-wide shared alt pool, when the
+  cohort compiled pooled) is **replicated**; per-shard task/annotation/alt
+  tensors are **sharded** on ``dp``;
+* one ``shard_map``-jitted program runs execute -> masks -> bf16 MXU scoring
+  -> stable-sort ranking on every chip, and only ``[D, samples, top]`` score
+  rows plus peptide bytes leave the devices.
+
+Every shard runs at the same padded bucket shapes (max over shards and, via
+the caller's :class:`~vcf2prot_tpu.downstream.device_resident.Buckets`, over
+chunks), so the whole multi-chunk multi-chip run compiles each function
+once. The per-shard compute body is the SAME ``_dense_core``/``_rank_core``
+the single-device path jits -- tests pin both against the host oracle chain.
+
+Reference contrast: the reference's only scale-out is a process pool of
+binary invocations (automation_scripts/parallization_python.py:196-207) and
+its accelerator slot is stubbed (gir.rs:283-299); this module is that slot,
+scaled over a mesh.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..compiler.haplotype import RefBlob
+from ..downstream.device_resident import (
+    Buckets,
+    _chunk_annotation_spans,
+    _dense_core,
+    _rank_core,
+)
+from ..downstream.scoring import init_params
+from ..runtime.pack import pack_cohort, pad_to_bucket, program_is_contiguous
+
+_FN_CACHE = {}
+
+
+def partition_pairs(programs, n_shards: int):
+    """Partition (hap1, hap2) pairs across shards, balanced by result bytes;
+    returns per-shard lists of PAIR indices (greedy longest-first)."""
+    n_pairs = len(programs) // 2
+    sizes = [
+        programs[2 * i].res_len + programs[2 * i + 1].res_len
+        for i in range(n_pairs)
+    ]
+    order = sorted(range(n_pairs), key=lambda i: -sizes[i])
+    shards = [[] for _ in range(n_shards)]
+    loads = [0] * n_shards
+    for i in order:
+        s = loads.index(min(loads))
+        shards[s].append(i)
+        loads[s] += sizes[i]
+    # keep original sample order inside each shard (stable row decode)
+    return [sorted(s) for s in shards]
+
+
+def shard_buckets(programs, chunks, n_shards: int) -> Buckets:
+    """Fold per-(chunk, shard) shape needs into one run-wide Buckets."""
+    out = tasks = ann = samples = alt = 1
+    pooled = bool(programs) and all(p.pooled for p in programs)
+    if pooled:
+        alt = len(programs[0].alt)
+    for chunk in chunks:
+        progs = [programs[i] for i in chunk]
+        for pair_idxs in partition_pairs(progs, n_shards):
+            sp = [
+                q for i in pair_idxs
+                for q in (progs[2 * i], progs[2 * i + 1])
+            ]
+            out = max(out, sum(p.res_len for p in sp))
+            tasks = max(tasks, sum(p.n_tasks for p in sp))
+            ann = max(ann, sum(len(p.annotations) for p in sp))
+            samples = max(samples, len(pair_idxs))
+            if not pooled:
+                alt = max(alt, sum(len(p.alt) for p in sp))
+    return Buckets(
+        *(pad_to_bucket(v) for v in (out, tasks, ann, samples, alt))
+    )
+
+
+def _sharded_chain(mesh, buckets: Buckets, k: int, blk: int, top: int,
+                   shared_alt: bool):
+    import jax
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..utils.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
+    key = (tuple(d.id for d in mesh.devices.flat), buckets, k, blk, top,
+           shared_alt)
+    if key in _FN_CACHE:
+        return _FN_CACHE[key]
+
+    def per_shard(blob, alt, dst, srcb, exe, ann_s, ann_e, starts,
+                  total_res, params):
+        import jax.numpy as jnp
+
+        combined = jnp.concatenate([blob, alt if shared_alt else alt[0]])
+        tape, cand, scores = _dense_core(
+            combined, dst[0], srcb[0], exe[0], ann_s[0], ann_e[0], params,
+            total_res[0], out_bucket=buckets.out, k=k, blk=blk,
+        )
+        vals, gpos, wins = _rank_core(
+            tape, cand, scores, starts[0],
+            out_bucket=buckets.out, k=k, s_bucket=buckets.samples, top=top,
+        )
+        return vals[None], gpos[None], wins[None]
+
+    fn = shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(
+            P(),                                  # blob: replicated
+            P() if shared_alt else P("dp", None),  # alt pool / per-shard alt
+            P("dp", None), P("dp", None), P("dp", None),   # dst, srcb, exe
+            P("dp", None), P("dp", None),          # ann starts / ends
+            P("dp", None), P("dp"),                # sample starts, total_res
+            P(),                                   # params: replicated
+        ),
+        out_specs=(P("dp", None, None), P("dp", None, None),
+                   P("dp", None, None, None)),
+    )
+    jitted = jax.jit(fn)
+    _FN_CACHE[key] = jitted
+    return jitted
+
+
+class ShardedNeoantigenEngine:
+    """dp-mesh twin of DeviceNeoantigenEngine; same ``run_chunk`` contract
+    (None => caller falls back to the host chain)."""
+
+    def __init__(self, blob: RefBlob, mesh, k: int, params=None,
+                 top: int = 200):
+        self.blob = blob
+        self.mesh = mesh
+        self.k = k
+        self.top = top
+        self.params = params if params is not None else init_params(k)
+
+    def run_chunk(self, programs, buckets: Buckets = None):
+        import jax.numpy as jnp
+
+        n_shards = self.mesh.devices.size
+        if not all(program_is_contiguous(p) for p in programs):
+            return None
+        pair_shards = partition_pairs(programs, n_shards)
+        shard_progs = [
+            [q for i in idxs for q in (programs[2 * i], programs[2 * i + 1])]
+            for idxs in pair_shards
+        ]
+        packed = [pack_cohort(sp, self.blob) for sp in shard_progs]
+        if not all(p.contiguous for p in packed):
+            return None
+        if any(p.dst.dtype != np.int32 for p in packed):
+            return None  # >2 GiB shard: chunk smaller or fall back
+        ann = [
+            _chunk_annotation_spans(sp, p.spans)
+            for sp, p in zip(shard_progs, packed)
+        ]
+        if any(a is None for a in ann):
+            return None
+        # grow provided buckets to this chunk's true needs (an undersized
+        # axis would silently truncate the shard arrays); callers sizing
+        # buckets with shard_buckets() keep the one-compile property
+        local = shard_buckets(
+            programs, [list(range(len(programs)))], n_shards
+        )
+        buckets = (
+            local if buckets is None
+            else Buckets(*(max(a, b) for a, b in zip(buckets, local)))
+        )
+        if self.k > buckets.out:
+            return {i: [] for i in range(len(programs) // 2)}
+        shared_alt = (
+            bool(packed) and packed[0].alt_key is not None
+            and all(p.alt_key == packed[0].alt_key for p in packed)
+        )
+        D = n_shards
+        imax = np.iinfo(np.int32).max
+        dst = np.full((D, buckets.tasks), imax, np.int32)
+        srcb = np.zeros((D, buckets.tasks), np.int32)
+        exe = np.zeros((D, buckets.tasks), np.int8)
+        ann_s = np.full((D, buckets.ann), imax, np.int32)
+        ann_e = np.zeros((D, buckets.ann), np.int32)
+        starts = np.full((D, buckets.samples), imax, np.int32)
+        total_res = np.zeros(D, np.int32)
+        if shared_alt:
+            alt = np.zeros(pad_to_bucket(max(len(packed[0].alt), 1)),
+                           np.uint8)
+            alt[: len(packed[0].alt)] = packed[0].alt
+        else:
+            alt = np.zeros((D, buckets.alt), np.uint8)
+        blob_len = len(self.blob.data)
+        for d, p in enumerate(packed):
+            n = len(p.dst)
+            dst[d, :n] = p.dst
+            srcb[d, :n] = p.src_biased
+            exe[d, :n] = p.src_biased >= blob_len
+            a_s, a_e = ann[d]
+            ann_s[d, : len(a_s)] = a_s
+            ann_e[d, : len(a_e)] = a_e
+            n_sp = len(shard_progs[d]) // 2
+            starts[d, :n_sp] = [p.spans[2 * i][1] for i in range(n_sp)]
+            total_res[d] = p.total_res
+            if not shared_alt:
+                alt[d, : len(p.alt)] = p.alt
+        blk = min(buckets.out, 1 << 19)
+        run = _sharded_chain(self.mesh, buckets, self.k, blk, self.top,
+                             shared_alt)
+        vals, gpos, wins = run(
+            jnp.asarray(self.blob.data), alt, dst, srcb, exe, ann_s, ann_e,
+            starts, total_res, self.params,
+        )
+        vals = np.asarray(vals)
+        gpos = np.asarray(gpos)
+        wins = np.asarray(wins)
+        out = {}
+        for d, pair_idxs in enumerate(pair_shards):
+            for local_i, pair_idx in enumerate(pair_idxs):
+                hap1_len = shard_progs[d][2 * local_i].res_len
+                seg_start = packed[d].spans[2 * local_i][1]
+                rows = []
+                for r in range(self.top):
+                    sc = float(vals[d, local_i, r])
+                    if sc == -np.inf:
+                        break
+                    local = int(gpos[d, local_i, r]) - seg_start
+                    if local < hap1_len:
+                        hap, hpos = 1, local
+                    else:
+                        hap, hpos = 2, local - hap1_len
+                    rows.append((sc, hap, hpos, bytes(wins[d, local_i, r])))
+                out[pair_idx] = rows
+        return out

@@ -336,15 +336,25 @@ def run_pipeline(cfg: PipelineConfig) -> PipelineResult:
     if cfg.neoantigen_k and cfg.neoantigen_only and engine is Engine.TPU:
         # fully device-resident: execute + mask + score + top-k in HBM; the
         # only device->host traffic is [samples, top] rows, so the slow-link
-        # placement argument for FASTA output does not apply
+        # placement argument for FASTA output does not apply. Multi-chip
+        # hosts run the dp-sharded chain (samples partitioned over the mesh,
+        # blob replicated, no collectives)
+        import jax
+
         from .downstream.device_resident import (
             write_device_neoantigen_reports,
         )
 
+        mesh = None
+        if jax.local_device_count() > 1:
+            from .parallel.mesh import make_mesh
+
+            mesh = make_mesh()
         with timer.stage("Neoantigen scoring (device-resident)"):
             write_device_neoantigen_reports(
                 cfg.outdir, proband_names, flat, blob, cfg.neoantigen_k,
                 params=neo_params, chunk_res_bytes=cfg.chunk_res_bytes,
+                mesh=mesh,
             )
         for p in flat:
             result.n_haplotype_seqs += len(p.annotations)
