@@ -1006,6 +1006,9 @@ struct TranscriptGroup {
 
 void drop_replicate(TranscriptGroup* g) {
   auto& alts = g->muts;
+  // one mutation can neither duplicate nor conflict; most groups are this
+  // size, and skipping them avoids a per-group heap allocation (refs)
+  if (alts.size() <= 1) return;
   std::stable_sort(alts.begin(), alts.end(),
                    [](const Mutation& a, const Mutation& b) {
                      return a.mut_pos < b.mut_pos;
