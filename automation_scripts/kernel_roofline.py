@@ -64,6 +64,10 @@ def main():
     )
     args = ap.parse_args()
 
+    from vcf2prot_tpu.utils.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     import jax
     import jax.numpy as jnp
 
@@ -154,6 +158,10 @@ def main():
     def sync(x):
         np.asarray(x.ravel()[:1])  # true device sync (see module docstring)
 
+    # correctness reference = FIRST variant in the list, so any subset can
+    # run in its own (fresh, wedge-resistant) process: e.g.
+    # "delta,word,word_nofix" checks word against delta
+    ref_name = None
     ref_out = None
     results = {}
     for name in args.variants.split(","):
@@ -162,11 +170,11 @@ def main():
         out = fn(combined, dst_d, srcb_d)
         sync(out)
         log(f"{name}: compile+first {time.perf_counter() - t0:.1f}s")
-        if name == "scan":
-            ref_out = np.asarray(out[:total])
-        elif ref_out is not None and name != "word_nofix":
+        if ref_out is None:
+            ref_name, ref_out = name, np.asarray(out[:total])
+        elif name != "word_nofix":
             same = bool(np.array_equal(np.asarray(out[:total]), ref_out))
-            log(f"{name}: correctness vs scan = {same}")
+            log(f"{name}: correctness vs {ref_name} = {same}")
             if not same:
                 continue
         t0 = time.perf_counter()
@@ -177,10 +185,10 @@ def main():
         results[name] = dt
         log(f"{name:10s}: {dt * 1e3:8.1f} ms/iter  "
             f"{total / dt / 1e9:6.2f} GB/s output")
-    if "scan" in results:
+    if ref_name in results:
         for name, dt in results.items():
-            if name != "scan":
-                log(f"{name}: {results['scan'] / dt:.1f}x vs scan")
+            if name != ref_name:
+                log(f"{name}: {results[ref_name] / dt:.1f}x vs {ref_name}")
 
 
 if __name__ == "__main__":

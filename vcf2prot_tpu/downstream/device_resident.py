@@ -16,8 +16,8 @@ src/data_structures/InternalRep/gir.rs:283-299).
 
 The kernel design is GATHER-FREE except the one unavoidable execute gather
 and the tiny [S, top, k] result fetch. On the real chip (measured,
-ARCHITECTURE 2.3), vectorized binary search costs ~160 ns/query (32M-query
-``searchsorted``: ~6 s) and large random gathers ~30-45 ns/lane, while
+ARCHITECTURE 2.3), vectorized binary search costs ~225 ns/query (33.6M-query
+``searchsorted``: 7.6 s) and large random gathers ~30-45 ns/lane, while
 scatter-adds at TASK granularity (~500k updates), 32M cumsums (~16 ms) and
 even 32M multi-operand sorts (~150 ms) are cheap. So every per-task ->
 per-byte mapping uses delta-scatter + cumsum ("segment expansion"), never
@@ -69,7 +69,7 @@ def _expand_delta(jnp, vals, starts, out_len):
     Matches ``searchsorted(starts, j, 'right') - 1`` exactly (coincident
     starts telescope so the last segment wins) at segment-count scatter cost
     instead of per-byte binary search -- the measured difference on the real
-    chip is ~250x (ARCHITECTURE 2.3). Out-of-range starts (bucket padding)
+    chip is ~25x (ARCHITECTURE 2.3). Out-of-range starts (bucket padding)
     are dropped.
     """
     v = vals.astype(jnp.int32)

@@ -48,7 +48,7 @@ def _sharded_runner(mesh, out_bucket: int, shared_alt: bool):
         # sharded operands keep a leading dp axis of size 1 inside the shard
         combined = jnp.concatenate([blob, alt if shared_alt else alt[0]])
         # covering-task expansion by delta-scatter + cumsum (see
-        # runtime/tpu_engine.py: ~250x cheaper than per-byte searchsorted on
+        # runtime/tpu_engine.py: ~25x cheaper than per-byte searchsorted on
         # real TPU hardware); padding tasks carry dst = iinfo.max -> dropped
         v = srcb[0] - dst[0]
         delta = v - jnp.concatenate([jnp.zeros(1, v.dtype), v[:-1]])

@@ -1,14 +1,14 @@
 """Pallas TPU kernels.
 
-Kernel-design note for the hot op (the segmented gather executor): profiling
-on TPU v5e shows XLA's fused searchsorted+gather already runs a 16 MB result
-in ~0.2 ms (~540 GB/s effective counting the int32 index traffic) -- at the
-HBM roofline for this access pattern. A hand-written DMA copy engine loses
-here because the mean task length (~45 bytes) makes per-task DMA dispatch
-dominate, and per-element VMEM gather is limited to lane-wise (axis-1)
-``take_along_axis`` on the current Mosaic toolchain. The XLA formulation in
-``tpu_engine.py`` therefore *is* the speed-of-light kernel for this op; see
-ARCHITECTURE.md for the full analysis.
+Kernel-design note for the hot op (the segmented gather executor): the
+production formulation is delta-scatter + cumsum + gather (measured 295 ms
+for a 33.6 MB tape on the real chip -- 25.6x the per-byte-searchsorted
+form; ARCHITECTURE 2.3). A hand-written DMA copy engine loses here because
+the mean task length (~45 bytes) makes per-task DMA dispatch dominate, and
+per-element VMEM gather is limited to lane-wise (axis-1)
+``take_along_axis`` on the current Mosaic toolchain, so the executor stays
+an XLA program; see ARCHITECTURE.md for the full analysis (including why
+bulk tape assembly still places on the HOST tier end-to-end).
 
 What Pallas does own here is the device-side self-validation of the task
 stream -- the role the reference reserved for its (stubbed) ``DEBUG_GPU``

@@ -15,9 +15,10 @@ alt tape appended; the blob is uploaded once per run and shared by every
 chunk, sample and haplotype.
 
 The covering-task expansion is NOT a per-byte binary search: on real TPU
-hardware a 32M-query ``searchsorted`` costs ~6 s (~160 ns/query; XLA lowers
-it to log2(n) serialized gather rounds) while a task-granularity
-delta-scatter + prefix sum costs ~25 ms (measured, ARCHITECTURE 2.3). So the
+hardware the per-byte ``searchsorted`` formulation costs 7.6 s per 33.6 MB
+chunk (~225 ns/query; XLA lowers it to log2(n) serialized gather rounds)
+while the delta-scatter + cumsum + gather kernel completes the same chunk
+in 295 ms -- 25.6x faster (measured, ARCHITECTURE 2.3). So the
 per-byte source index is produced by scattering first-difference deltas of
 ``src_biased - dst`` at task starts and cumsum-ing -- identical to
 ``vals[searchsorted(dst, j, 'right') - 1]`` for sorted starts (coincident
