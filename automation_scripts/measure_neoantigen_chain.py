@@ -112,11 +112,32 @@ def main():
             flush=True,
         )
         print(f"device/host ratio: {host / warm:.2f}x", flush=True)
-        same = all(
-            [r[1:] for r in rows_w[i]] == [r[1:] for r in host_rows[i]]
-            for i in rows_w
+        # On-device bf16 scoring rounds differently across the two batch
+        # shapes (dense lax.map blocks vs one bucketed batch), so rows can
+        # swap ORDER or trade the boundary row at the top-`top` cutoff while
+        # agreeing on scores to ~1e-3; report that structure instead of a
+        # bare exact-match bool (exact equality is asserted by the CPU test
+        # suite where both paths score bit-identically).
+        exact = order_only = boundary = 0
+        deltas = [0.0]
+        for i in rows_w:
+            ds = [r[1:] for r in rows_w[i]]
+            hs = [r[1:] for r in host_rows[i]]
+            if ds == hs:
+                exact += 1
+            elif set(ds) == set(hs):
+                order_only += 1
+            else:
+                boundary += 1
+            dd = {k: r[0] for k, r in zip(ds, rows_w[i])}
+            hh = {k: r[0] for k, r in zip(hs, host_rows[i])}
+            deltas.extend(abs(dd[k] - hh[k]) for k in set(dd) & set(hh))
+        print(
+            f"row agreement: {exact} exact, {order_only} order-only, "
+            f"{boundary} top-{200} boundary swaps; max |score delta| on "
+            f"common rows {max(deltas):.2e}",
+            flush=True,
         )
-        print(f"row parity (ignoring float score repr): {same}", flush=True)
 
 
 if __name__ == "__main__":
