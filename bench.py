@@ -244,13 +244,33 @@ def measure_shared_regime():
 
 
 _NEO_SNIPPET = r"""
-import json, sys, time, shutil, os
+import json, sys, time, shutil, os, threading
 os.environ.setdefault("NO_TEST", "1")  # synthetic cohorts trip the QC system
-repo, mode, vcf, fasta, outdir = sys.argv[1:6]
+repo, vcf, fasta, outbase = sys.argv[1:5]
 sys.path.insert(0, repo)
+
+# First-touch probe: a fresh process's first device interaction stalls for
+# multiple minutes on this forwarded link roughly half the time (and a
+# stalled session usually never recovers). Detect it with a tiny roundtrip
+# under a deadline and exit 3 EARLY so the harness can retry in a fresh
+# process instead of burning the full leg timeout. A session that passes
+# the probe tends to stay responsive.
+def _probe():
+    import numpy as np
+    import jax, jax.numpy as jnp
+    x = jax.device_put(np.ones(1024, np.float32), jax.devices()[0])
+    float(np.asarray(jnp.sum(x).reshape(1))[0])
+    _probe.ok = True
+_probe.ok = False
+t = threading.Thread(target=_probe, daemon=True)
+t.start(); t.join(float(os.environ.get("BENCH_NEO_PROBE_S", "240")))
+if not _probe.ok:
+    print(json.dumps({"stalled": True})); sys.stdout.flush(); os._exit(3)
+
 from vcf2prot_tpu.pipeline import PipelineConfig, run_pipeline
 from vcf2prot_tpu.runtime.engine import Engine
-def one():
+def one(mode):
+    outdir = outbase + "_" + mode
     shutil.rmtree(outdir, ignore_errors=True); os.makedirs(outdir)
     cfg = PipelineConfig(
         vcf_path=vcf, fasta_path=fasta, outdir=outdir,
@@ -261,12 +281,15 @@ def one():
     )
     t0 = time.perf_counter(); run_pipeline(cfg)
     return time.perf_counter() - t0
-# cold = page cache + jit compiles (served by the persistent XLA compile
-# cache when it is warm, utils/jaxcache.py); reported separately so the
-# compile cost is visible instead of silently timing out the leg
-cold = one()
-print(json.dumps({"cold": cold, "dt": min(one() for _ in range(2))}))
-sys.stdout.flush(); os._exit(0)  # skip teardown: device threads may hang
+# both legs in ONE process: one first-touch risk, one warm backend. cold =
+# page cache + jit compiles (served by the persistent XLA compile cache
+# when warm, utils/jaxcache.py), reported separately.
+out = {}
+for mode in ("tpu", "mt"):
+    cold = one(mode)
+    out[mode] = {"cold": cold, "dt": min(one(mode) for _ in range(2))}
+print(json.dumps(out)); sys.stdout.flush()
+os._exit(0)  # skip teardown: device threads may hang
 """
 
 
@@ -285,7 +308,10 @@ def measure_neoantigen_e2e():
 
     n_samples = int(os.environ.get("BENCH_NEO_SAMPLES", "64"))
     n_txp = int(os.environ.get("BENCH_NEO_TRANSCRIPTS", "600"))
-    timeout = int(os.environ.get("BENCH_NEO_TIMEOUT", "600"))
+    # stalled attempts self-terminate at ~BENCH_NEO_PROBE_S via the probe,
+    # so the leg timeout only binds while real work (compile + runs) is
+    # happening -- generous beats truncating a cold-compile attempt
+    timeout = int(os.environ.get("BENCH_NEO_TIMEOUT", "900"))
     vcf = os.path.join(WORKDIR, f"cohort_{n_samples}x{n_txp}.vcf")
     fasta = os.path.join(WORKDIR, f"ref_{n_txp}.fasta")
     if not (os.path.exists(vcf) and os.path.exists(fasta)):
@@ -297,25 +323,29 @@ def measure_neoantigen_e2e():
         write_fasta(fasta, ref)
     repo = os.path.dirname(os.path.abspath(__file__))
     results = {}
-    for mode in ("tpu", "mt"):
-        outdir = os.path.join(WORKDIR, f"neo_{mode}")
-        # one retry in a FRESH subprocess: the forwarded link wedges
-        # per-session (a stalled D2H fetch never completes in that process,
-        # while a new process's session works), and the persistent compile
-        # cache makes the retry skip straight to execution
-        for attempt in range(2):
-            try:
-                proc = subprocess.run(
-                    [sys.executable, "-c", _NEO_SNIPPET, repo, mode, vcf,
-                     fasta, outdir],
-                    capture_output=True, timeout=timeout, text=True,
-                )
-                payload = json.loads(proc.stdout.strip().splitlines()[-1])
-                results[mode] = payload
-                break
-            except Exception as err:
-                log(f"neoantigen e2e ({mode}) attempt {attempt + 1} "
-                    f"failed: {err}")
+    outbase = os.path.join(WORKDIR, "neo")
+    # retries in FRESH subprocesses: the forwarded link's first device touch
+    # stalls for minutes about half the time and a stalled session rarely
+    # recovers. The snippet detects the stall with a deadline probe and
+    # exits early (rc 3), so a failed attempt costs ~BENCH_NEO_PROBE_S, and
+    # the persistent compile cache lets the succeeding attempt skip
+    # straight to execution.
+    for attempt in range(int(os.environ.get("BENCH_NEO_ATTEMPTS", "3"))):
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", _NEO_SNIPPET, repo, vcf, fasta,
+                 outbase],
+                capture_output=True, timeout=timeout, text=True,
+            )
+            payload = json.loads(proc.stdout.strip().splitlines()[-1])
+            if payload.get("stalled"):
+                log(f"neoantigen e2e attempt {attempt + 1}: device "
+                    "first-touch stalled; retrying in a fresh process")
+                continue
+            results = payload
+            break
+        except Exception as err:
+            log(f"neoantigen e2e attempt {attempt + 1} failed: {err}")
     for mode, label in (("tpu", "device-resident"), ("mt", "host-execute")):
         if mode in results:
             r = results[mode]
