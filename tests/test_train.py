@@ -1,0 +1,100 @@
+"""Scoring-head training (downstream/train.py): the --neoantigen_params
+producer. Trains on a synthetic separable task and checks ranking quality,
+schema round-trip, reproducibility, and end-to-end effect on the report."""
+import numpy as np
+import pytest
+
+from vcf2prot_tpu.downstream.scoring import init_params, load_params, score_windows
+from vcf2prot_tpu.downstream.train import auc, fit, save_params
+
+K = 9
+
+
+def toy_task(n=2048, seed=3):
+    """Binary task: windows containing a tryptophan ('W') anywhere are
+    positive -- linearly separable by the per-position embedding."""
+    rng = np.random.default_rng(seed)
+    alphabet = np.frombuffer(b"ACDEFGHIKLMNPQRSTVY", np.uint8)  # no W
+    win = alphabet[rng.integers(0, len(alphabet), size=(n, K))]
+    labels = (rng.random(n) < 0.5).astype(np.float32)
+    pos = labels > 0.5
+    cols = rng.integers(0, K, size=int(pos.sum()))
+    win[np.nonzero(pos)[0], cols] = ord("W")
+    return win, labels
+
+
+def test_fit_learns_separable_task():
+    win, labels = toy_task()
+    base = auc(np.asarray(score_windows(win, init_params(K))), labels)
+    params = fit(win, labels, epochs=12, batch_size=512, seed=0)
+    trained = auc(np.asarray(score_windows(win, params)), labels)
+    assert trained > 0.95, (base, trained)
+    assert trained > base + 0.2
+
+
+def test_fit_is_reproducible():
+    win, labels = toy_task(n=256)
+    a = fit(win, labels, epochs=2, batch_size=128, seed=7)
+    b = fit(win, labels, epochs=2, batch_size=128, seed=7)
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k])
+
+
+def test_save_load_roundtrip(tmp_path):
+    win, labels = toy_task(n=256)
+    params = fit(win, labels, epochs=1, batch_size=128)
+    path = str(tmp_path / "w.npz")
+    save_params(path, params)
+    loaded = load_params(path, K)
+    for k in params:
+        np.testing.assert_array_equal(params[k], loaded[k])
+    np.testing.assert_allclose(
+        np.asarray(score_windows(win[:32], params)),
+        np.asarray(score_windows(win[:32], loaded)),
+        rtol=0, atol=0,
+    )
+
+
+def test_mse_mode_for_continuous_labels():
+    win, _ = toy_task(n=512)
+    has_w = (win == ord("W")).any(axis=1)
+    y = np.where(has_w, 2.0, -1.0).astype(np.float32)  # not {0,1} -> MSE
+    params = fit(win, y, epochs=40, batch_size=256, seed=1)
+    s = np.asarray(score_windows(win, params))
+    assert s[has_w].mean() > s[~has_w].mean() + 1.0
+
+
+def test_shape_validation():
+    win, labels = toy_task(n=64)
+    with pytest.raises(ValueError):
+        fit(win, labels[:-1])
+    with pytest.raises(ValueError):
+        fit(win, labels, k=8)
+
+
+def test_trained_params_flow_through_report(tmp_path):
+    """--neoantigen_params end to end: a trained head changes the ranking
+    the report writes, and identically across the host and device paths."""
+    from test_device_resident import build_cohort
+    from vcf2prot_tpu.downstream.device_resident import (
+        _host_chunk_rows,
+        write_device_neoantigen_reports,
+    )
+
+    win, labels = toy_task(n=512)
+    params = fit(win, labels, epochs=3, batch_size=256)
+    path = str(tmp_path / "w.npz")
+    save_params(path, params)
+    loaded = load_params(path, K)
+    names, progs, blob = build_cohort(seed=21, n_samples=2)
+    out = tmp_path / "rep"
+    out.mkdir()
+    write_device_neoantigen_reports(
+        str(out), names, progs, blob, K, params=loaded
+    )
+    host = _host_chunk_rows(progs, blob, K, loaded, 200)
+    for i, name in enumerate(names):
+        lines = (out / f"{name}.neoantigens.tsv").read_text().splitlines()
+        got = [l.split("\t")[0] for l in lines[1:]]
+        want = [r[3].decode("ascii") for r in host[i]]
+        assert got == want

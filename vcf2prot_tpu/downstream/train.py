@@ -1,0 +1,145 @@
+"""Training loop for the peptide scoring head: close the --neoantigen_params
+loop.
+
+``--neoantigen_params`` loads trained weights (scoring.load_params), but the
+reference ecosystem gives a user no way to PRODUCE them. This module is that
+missing piece: fit the MXU scoring head (scoring.score_windows -- the exact
+forward the ranking paths run, so train/serve cannot skew) on labeled
+peptide windows and save an ``.npz`` in load_params' schema.
+
+TPU-first by construction:
+
+* the forward IS the serving forward: one-hot -> folded bf16 matmul stack
+  with fp32 accumulation on the MXU;
+* one jitted adam step over static bucket shapes (pad + mask, no
+  data-dependent shapes, no per-epoch retraces);
+* epoch shuffling via jax.random under a fixed seed -- bit-reproducible
+  runs;
+* gradients in fp32 (params are fp32; only the matmul compute is bf16, the
+  standard mixed-precision recipe).
+
+No reference analogue (the reference has no scoring subsystem at all); the
+architecture is a deliberately small production-shaped scaffold, see
+scoring.py.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .scoring import VOCAB, init_params, score_windows
+
+
+def _bucket(n: int, floor: int = 256) -> int:
+    b = floor
+    while b < n:
+        b <<= 1
+    return b
+
+
+def fit(windows: np.ndarray, labels: np.ndarray, k: int = None,
+        epochs: int = 30, batch_size: int = 4096, learning_rate: float = 1e-3,
+        seed: int = 0, params: dict = None, l2: float = 0.0,
+        verbose: bool = False) -> dict:
+    """Fit the scoring head on ``windows u8[N, k]`` / ``labels f32[N]``.
+
+    Binary labels train with sigmoid cross-entropy; continuous labels (any
+    value outside {0, 1}) with mean-squared error -- both on the raw score
+    the ranking paths sort by. Returns the trained params pytree (plain
+    dict of np arrays, ready for save_params / load_params).
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    windows = np.asarray(windows, np.uint8)
+    labels = np.asarray(labels, np.float32)
+    n, wk = windows.shape
+    if k is None:
+        k = wk
+    if wk != k:
+        raise ValueError(f"windows are {wk}-mers but k={k}")
+    if labels.shape != (n,):
+        raise ValueError("labels must be f32[N] aligned with windows")
+    if params is None:
+        params = init_params(k, seed=seed)
+    params = {key: jnp.asarray(v, jnp.float32) for key, v in params.items()}
+    binary = bool(np.isin(labels, (0.0, 1.0)).all())
+
+    batch_size = min(_bucket(batch_size), _bucket(max(n, 1)))
+    n_batches = (n + batch_size - 1) // batch_size
+    padded = n_batches * batch_size
+    win_p = np.zeros((padded, k), np.uint8)
+    win_p[:n] = windows
+    lab_p = np.zeros(padded, np.float32)
+    lab_p[:n] = labels
+    mask_p = np.zeros(padded, np.float32)
+    mask_p[:n] = 1.0
+
+    opt = optax.adam(learning_rate)
+    opt_state = opt.init(params)
+
+    def loss_fn(p, w, y, m):
+        s = score_windows(w, p)
+        if binary:
+            per = optax.sigmoid_binary_cross_entropy(s, y)
+        else:
+            per = (s - y) ** 2
+        loss = jnp.sum(per * m) / jnp.maximum(jnp.sum(m), 1.0)
+        if l2:
+            loss = loss + l2 * sum(
+                jnp.sum(v * v) for key, v in p.items() if key.startswith("w")
+            )
+        return loss
+
+    @jax.jit
+    def step(p, st, w, y, m):
+        loss, grads = jax.value_and_grad(loss_fn)(p, w, y, m)
+        updates, st = opt.update(grads, st, p)
+        return optax.apply_updates(p, updates), st, loss
+
+    @jax.jit
+    def perm_fn(key):
+        return jax.random.permutation(key, padded)
+
+    key = jax.random.PRNGKey(seed)
+    for epoch in range(epochs):
+        key, sub = jax.random.split(key)
+        order = np.asarray(perm_fn(sub))
+        w_e, y_e, m_e = win_p[order], lab_p[order], mask_p[order]
+        total = 0.0
+        for b in range(n_batches):
+            sl = slice(b * batch_size, (b + 1) * batch_size)
+            params, opt_state, loss = step(
+                params, opt_state, w_e[sl], y_e[sl], m_e[sl]
+            )
+            total += float(loss)
+        if verbose:
+            print(f"epoch {epoch + 1}/{epochs}: loss {total / n_batches:.5f}")
+    return {key: np.asarray(v, np.float32) for key, v in params.items()}
+
+
+def save_params(path: str, params: dict) -> None:
+    """Save trained weights in the ``--neoantigen_params`` schema
+    (scoring.load_params validates shapes on the way back in)."""
+    np.savez(
+        path,
+        **{name: np.asarray(params[name], np.float32)
+           for name in ("embed", "w1", "b1", "w2", "b2")},
+    )
+
+
+def auc(scores: np.ndarray, labels: np.ndarray) -> float:
+    """Rank-based AUC (the ranking paths sort by score, so ranking quality
+    is the metric that matters)."""
+    scores = np.asarray(scores, np.float64)
+    labels = np.asarray(labels) > 0.5
+    pos, neg = scores[labels], scores[~labels]
+    if not len(pos) or not len(neg):
+        return float("nan")
+    order = np.argsort(np.concatenate([pos, neg]), kind="stable")
+    ranks = np.empty(len(order), np.float64)
+    ranks[order] = np.arange(1, len(order) + 1)
+    return float(
+        (ranks[: len(pos)].sum() - len(pos) * (len(pos) + 1) / 2)
+        / (len(pos) * len(neg))
+    )
