@@ -300,14 +300,14 @@ def measure_neoantigen_e2e():
     (not just a kernel diagnostic). Subprocess + timeout: a stalled link
     must not hang the bench. Disable with BENCH_NEOANTIGEN=0.
 
-    The cohort defaults smaller than the headline one (BENCH_NEO_SAMPLES /
-    BENCH_NEO_TRANSCRIPTS to resize): the dense device chain's remote XLA
-    compiles take minutes when the persistent cache is cold, and the leg must
-    finish inside the driver budget even then."""
+    Defaults to the STANDARD headline cohort (128x1200; BENCH_NEO_SAMPLES /
+    BENCH_NEO_TRANSCRIPTS to resize). A fully cold persistent cache costs
+    one ~7-minute remote-compile attempt, which fits the per-attempt
+    timeout; with a warm cache both legs complete in seconds."""
     from genvcf import random_cohort, write_fasta, write_synthetic_vcf
 
-    n_samples = int(os.environ.get("BENCH_NEO_SAMPLES", "64"))
-    n_txp = int(os.environ.get("BENCH_NEO_TRANSCRIPTS", "600"))
+    n_samples = int(os.environ.get("BENCH_NEO_SAMPLES", str(N_SAMPLES)))
+    n_txp = int(os.environ.get("BENCH_NEO_TRANSCRIPTS", str(N_TRANSCRIPTS)))
     # stalled attempts self-terminate at ~BENCH_NEO_PROBE_S via the probe,
     # so the leg timeout only binds while real work (compile + runs) is
     # happening -- generous beats truncating a cold-compile attempt
