@@ -16,7 +16,14 @@ TPU-first by construction:
 * epoch shuffling via jax.random under a fixed seed -- bit-reproducible
   runs;
 * gradients in fp32 (params are fp32; only the matmul compute is bf16, the
-  standard mixed-precision recipe).
+  standard mixed-precision recipe);
+* the WHOLE fit is one jitted dispatch (scan over epochs, device-side
+  shuffle, scan over batches) and one flat result fetch. Measured on the
+  real chip through the forwarded link: per-step python dispatch costs
+  ~200 ms/step in link round trips; the single-dispatch form runs the same
+  80 steps with its time bounded by one fixed ~14 s dispatch+fetch floor
+  regardless of step count -- on a normally-attached TPU that floor is
+  microseconds and training is pure device throughput.
 
 No reference analogue (the reference has no scoring subsystem at all); the
 architecture is a deliberately small production-shaped scaffold, see
@@ -91,31 +98,61 @@ def fit(windows: np.ndarray, labels: np.ndarray, k: int = None,
             )
         return loss
 
+    # The ENTIRE fit is one jitted dispatch: scan over epochs, each epoch a
+    # device-side shuffle (jax.random.permutation + gather) and an inner
+    # scan over batches. Nothing crosses the host link until the final
+    # params fetch. On a remotely-attached device every host->device
+    # dispatch costs a network round trip (measured ~0.5 s on the forwarded
+    # link -- more than an entire epoch's compute), and on any TPU the
+    # single-dispatch form removes all per-step host involvement; epochs is
+    # a static scan length, so one compile serves a given (N, batch, k).
     @jax.jit
-    def step(p, st, w, y, m):
-        loss, grads = jax.value_and_grad(loss_fn)(p, w, y, m)
-        updates, st = opt.update(grads, st, p)
-        return optax.apply_updates(p, updates), st, loss
-
-    @jax.jit
-    def perm_fn(key):
-        return jax.random.permutation(key, padded)
-
-    key = jax.random.PRNGKey(seed)
-    for epoch in range(epochs):
-        key, sub = jax.random.split(key)
-        order = np.asarray(perm_fn(sub))
-        w_e, y_e, m_e = win_p[order], lab_p[order], mask_p[order]
-        total = 0.0
-        for b in range(n_batches):
-            sl = slice(b * batch_size, (b + 1) * batch_size)
-            params, opt_state, loss = step(
-                params, opt_state, w_e[sl], y_e[sl], m_e[sl]
+    def fit_fn(p, st, key, wd, yd, md):
+        def epoch(carry, _):
+            p, st, key = carry
+            key, sub = jax.random.split(key)
+            order = jax.random.permutation(sub, padded)
+            wb = jnp.take(wd, order, axis=0).reshape(
+                n_batches, batch_size, k
             )
-            total += float(loss)
-        if verbose:
-            print(f"epoch {epoch + 1}/{epochs}: loss {total / n_batches:.5f}")
-    return {key: np.asarray(v, np.float32) for key, v in params.items()}
+            yb = jnp.take(yd, order).reshape(n_batches, batch_size)
+            mb = jnp.take(md, order).reshape(n_batches, batch_size)
+
+            def body(carry, xs):
+                p, st = carry
+                w, y, m = xs
+                loss, grads = jax.value_and_grad(loss_fn)(p, w, y, m)
+                updates, st = opt.update(grads, st, p)
+                return (optax.apply_updates(p, updates), st), loss
+
+            (p, st), losses = jax.lax.scan(body, (p, st), (wb, yb, mb))
+            return (p, st, key), losses
+
+        (p, st, _), losses = jax.lax.scan(
+            epoch, (p, st, key), None, length=epochs
+        )
+        # ONE flat result buffer: each device->host fetch costs seconds of
+        # fixed latency on a remotely-forwarded link, so the trained params
+        # (and the loss curve) come back in a single transfer
+        flat = jnp.concatenate(
+            [p[name].ravel() for name in sorted(p)] + [losses.ravel()]
+        )
+        return flat
+
+    flat = np.asarray(fit_fn(
+        params, opt_state, jax.random.PRNGKey(seed), win_p, lab_p, mask_p
+    ))
+    out = {}
+    off = 0
+    for name in sorted(params):
+        size = int(np.prod(params[name].shape))
+        out[name] = flat[off:off + size].reshape(params[name].shape)
+        off += size
+    if verbose:
+        losses = flat[off:].reshape(epochs, n_batches)
+        for e, row in enumerate(losses):
+            print(f"epoch {e + 1}/{epochs}: loss {row.mean():.5f}")
+    return {name: np.asarray(v, np.float32) for name, v in out.items()}
 
 
 def save_params(path: str, params: dict) -> None:
