@@ -46,13 +46,22 @@ def _bucket(n: int, floor: int = 256) -> int:
 def fit(windows: np.ndarray, labels: np.ndarray, k: int = None,
         epochs: int = 30, batch_size: int = 4096, learning_rate: float = 1e-3,
         seed: int = 0, params: dict = None, l2: float = 0.0,
-        verbose: bool = False) -> dict:
+        verbose: bool = False, mesh=None) -> dict:
     """Fit the scoring head on ``windows u8[N, k]`` / ``labels f32[N]``.
 
     Binary labels train with sigmoid cross-entropy; continuous labels (any
     value outside {0, 1}) with mean-squared error -- both on the raw score
     the ranking paths sort by. Returns the trained params pytree (plain
     dict of np arrays, ready for save_params / load_params).
+
+    ``mesh``: a ``dp`` mesh (parallel/mesh.make_mesh) runs the same run
+    DATA-PARALLEL: every device holds the (small) dataset and the
+    replicated params, each processes ``batch/D`` rows of every global
+    batch, and gradients are ``psum``-combined -- the one collective in the
+    framework. The global batch composition, shuffle sequence, and update
+    math are identical to the single-device run (the loss divides by the
+    psum'd global mask count), so scaling devices does not change the
+    training trajectory beyond float reassociation.
     """
     import jax
     import jax.numpy as jnp
@@ -72,7 +81,9 @@ def fit(windows: np.ndarray, labels: np.ndarray, k: int = None,
     params = {key: jnp.asarray(v, jnp.float32) for key, v in params.items()}
     binary = bool(np.isin(labels, (0.0, 1.0)).all())
 
+    n_shards = mesh.devices.size if mesh is not None else 1
     batch_size = min(_bucket(batch_size), _bucket(max(n, 1)))
+    batch_size = max(batch_size, n_shards)  # every shard sees >= 1 row
     n_batches = (n + batch_size - 1) // batch_size
     padded = n_batches * batch_size
     win_p = np.zeros((padded, k), np.uint8)
@@ -85,18 +96,21 @@ def fit(windows: np.ndarray, labels: np.ndarray, k: int = None,
     opt = optax.adam(learning_rate)
     opt_state = opt.init(params)
 
-    def loss_fn(p, w, y, m):
+    def loss_terms(p, w, y, m):
+        """(masked loss sum, l2 term) on this shard's rows; the caller
+        supplies the GLOBAL denominator so dp shards stay exactly
+        equivalent to the single-device batch."""
         s = score_windows(w, p)
         if binary:
             per = optax.sigmoid_binary_cross_entropy(s, y)
         else:
             per = (s - y) ** 2
-        loss = jnp.sum(per * m) / jnp.maximum(jnp.sum(m), 1.0)
-        if l2:
-            loss = loss + l2 * sum(
-                jnp.sum(v * v) for key, v in p.items() if key.startswith("w")
-            )
-        return loss
+        return jnp.sum(per * m)
+
+    def l2_term(p):
+        return l2 * sum(
+            jnp.sum(v * v) for key, v in p.items() if key.startswith("w")
+        )
 
     # The ENTIRE fit is one jitted dispatch: scan over epochs, each epoch a
     # device-side shuffle (jax.random.permutation + gather) and an inner
@@ -106,22 +120,37 @@ def fit(windows: np.ndarray, labels: np.ndarray, k: int = None,
     # link -- more than an entire epoch's compute), and on any TPU the
     # single-dispatch form removes all per-step host involvement; epochs is
     # a static scan length, so one compile serves a given (N, batch, k).
-    @jax.jit
-    def fit_fn(p, st, key, wd, yd, md):
+    def fit_body(p, st, key, wd, yd, md, shard_slice, psum):
+        def local_loss(p, w, y, m):
+            cnt = psum(jnp.sum(m))
+            loss = loss_terms(p, w, y, m) / jnp.maximum(cnt, 1.0)
+            if l2:
+                # added once globally: each shard contributes 1/D of it
+                loss = loss + l2_term(p) / n_shards
+            return loss
+
         def epoch(carry, _):
             p, st, key = carry
             key, sub = jax.random.split(key)
-            order = jax.random.permutation(sub, padded)
-            wb = jnp.take(wd, order, axis=0).reshape(
-                n_batches, batch_size, k
-            )
-            yb = jnp.take(yd, order).reshape(n_batches, batch_size)
-            mb = jnp.take(md, order).reshape(n_batches, batch_size)
+            # the permutation is computed from the same key on every shard
+            # (replicated), so the GLOBAL batch composition is identical at
+            # any device count; each shard gathers only its row range
+            order = shard_slice(jax.random.permutation(sub, padded))
+            rows = order.shape[0] // n_batches
+            wb = jnp.take(wd, order, axis=0).reshape(n_batches, rows, k)
+            yb = jnp.take(yd, order).reshape(n_batches, rows)
+            mb = jnp.take(md, order).reshape(n_batches, rows)
 
             def body(carry, xs):
                 p, st = carry
                 w, y, m = xs
-                loss, grads = jax.value_and_grad(loss_fn)(p, w, y, m)
+                loss, grads = jax.value_and_grad(local_loss)(p, w, y, m)
+                # NO manual grad psum: params enter shard_map REPLICATED, so
+                # AD already psums their cotangents across 'dp' (a manual
+                # psum here over-counts by the mesh size -- caught by the
+                # parity test). The loss VALUE is a fresh per-shard partial
+                # and does need the explicit reduction for reporting.
+                loss = psum(loss)
                 updates, st = opt.update(grads, st, p)
                 return (optax.apply_updates(p, updates), st), loss
 
@@ -134,10 +163,51 @@ def fit(windows: np.ndarray, labels: np.ndarray, k: int = None,
         # ONE flat result buffer: each device->host fetch costs seconds of
         # fixed latency on a remotely-forwarded link, so the trained params
         # (and the loss curve) come back in a single transfer
-        flat = jnp.concatenate(
+        return jnp.concatenate(
             [p[name].ravel() for name in sorted(p)] + [losses.ravel()]
         )
-        return flat
+
+    if mesh is None:
+        @jax.jit
+        def fit_fn(p, st, key, wd, yd, md):
+            return fit_body(
+                p, st, key, wd, yd, md,
+                shard_slice=lambda order: order,
+                psum=lambda x: x,
+            )
+    else:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        if batch_size % n_shards:
+            raise ValueError(
+                f"batch_size {batch_size} must divide by the mesh size "
+                f"{n_shards}"
+            )
+        rows = batch_size // n_shards
+
+        def per_shard(p, st, key, wd, yd, md):
+            idx = jax.lax.axis_index("dp")
+
+            def shard_slice(order):
+                # rows [idx*rows, (idx+1)*rows) of every global batch
+                return jax.lax.dynamic_slice_in_dim(
+                    order.reshape(n_batches, n_shards * rows),
+                    idx * rows, rows, axis=1,
+                ).reshape(-1)
+
+            return fit_body(
+                p, st, key, wd, yd, md,
+                shard_slice=shard_slice,
+                psum=lambda x: jax.lax.psum(x, "dp"),
+            )
+
+        fit_fn = jax.jit(shard_map(
+            per_shard,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P(), P()),
+            out_specs=P(),
+        ))
 
     flat = np.asarray(fit_fn(
         params, opt_state, jax.random.PRNGKey(seed), win_p, lab_p, mask_p
