@@ -86,6 +86,41 @@ def test_shard_buckets_cover_all_shards():
             assert len(idxs) <= b.samples
 
 
+def test_pooled_cohort_shared_alt_path(tmp_path):
+    """Pool-compiled cohorts take the shared_alt branch (one replicated alt
+    pool, like the blob); rows must still match the host chain."""
+    from genvcf import shared_cohort, write_fasta, write_synthetic_vcf
+    from vcf2prot_tpu.compiler.haplotype import AltPool, RefBlob, attach_pool
+    from vcf2prot_tpu.compiler.proband import compile_proband
+    from vcf2prot_tpu.compiler.qc import QcConfig
+    from vcf2prot_tpu.pipeline import parse_vcf_to_int_maps
+
+    ref, samples = shared_cohort(seed=5, n_samples=4, n_transcripts=8)
+    vcf = tmp_path / "c.vcf"
+    write_synthetic_vcf(str(vcf), ref, samples)
+    blob = RefBlob.from_ref_seqs(ref)
+    int_maps = parse_vcf_to_int_maps(str(vcf))
+    progs = []
+    pool = AltPool()
+    cache = {}
+    for m in int_maps:
+        pp = compile_proband(m, ref, blob, QcConfig(), cache, pool)
+        progs.extend([pp.hap1, pp.hap2])
+    attach_pool(progs, pool)
+    assert all(p.pooled for p in progs)
+    params = init_params(K)
+    rows = ShardedNeoantigenEngine(
+        blob, make_mesh(4), K, params=params
+    ).run_chunk(progs)
+    assert rows is not None
+    host = _host_chunk_rows(progs, blob, K, params, 200)
+    _assert_rows_match(rows, host)
+    # the single-device engine's pooled branch (cached combined-tape upload
+    # keyed on the pool identity) must agree too
+    single = DeviceNeoantigenEngine(blob, K, params=params).run_chunk(progs)
+    _assert_rows_match(single, host)
+
+
 def test_malformed_program_returns_none():
     from vcf2prot_tpu.compiler.haplotype import HaplotypeProgram, RefBlob
 
