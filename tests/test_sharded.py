@@ -56,3 +56,30 @@ def test_partition_balance():
     assert max(loads) <= 2 * (sum(loads) / len(loads)) + max(
         p.res_len for p in programs
     )
+
+
+def test_sharded_pooled_cohort_shared_alt(tmp_path):
+    """Pool-compiled cohorts take the shared_alt branch of the sharded
+    executor (alt pool replicated like the blob, P() instead of P('dp'));
+    outputs must still match the oracle."""
+    from genvcf import shared_cohort, write_synthetic_vcf
+    from vcf2prot_tpu.compiler.haplotype import AltPool, attach_pool
+    from vcf2prot_tpu.compiler.proband import compile_proband
+    from vcf2prot_tpu.pipeline import parse_vcf_to_int_maps
+
+    ref, samples = shared_cohort(seed=9, n_samples=4, n_transcripts=8)
+    vcf = tmp_path / "c.vcf"
+    write_synthetic_vcf(str(vcf), ref, samples)
+    blob = RefBlob.from_ref_seqs(ref)
+    int_maps = parse_vcf_to_int_maps(str(vcf))
+    progs = []
+    pool = AltPool()
+    cache = {}
+    for m in int_maps:
+        pp = compile_proband(m, ref, blob, QcConfig(), cache, pool)
+        progs.extend([pp.hap1, pp.hap2])
+    attach_pool(progs, pool)
+    assert all(p.pooled for p in progs)
+    outs = ShardedEngine(blob, make_mesh(4)).execute(progs)
+    for prog, out in zip(progs, outs):
+        np.testing.assert_array_equal(execute_tasks(prog, blob), out)
