@@ -39,14 +39,19 @@ def _load_snippet():
 def test_neo_snippet_contract(tiny_cohort):
     d, vcf, fasta = tiny_cohort
     snippet = _load_snippet()
-    env = dict(
-        os.environ,
-        JAX_PLATFORMS="cpu",
-        NO_TEST="1",
-        BENCH_NEO_PROBE_S="60",
+    # the container sitecustomize force-registers the TPU backend in every
+    # process and env vars do NOT override it (CLAUDE.md); pin the test
+    # subprocess to CPU via the config API before exec'ing the snippet
+    snip_path = str(d / "snippet.py")
+    with open(snip_path, "w") as fh:
+        fh.write(snippet)
+    wrapper = (
+        "import jax, sys; jax.config.update('jax_platforms', 'cpu'); "
+        f"exec(compile(open({snip_path!r}).read(), {snip_path!r}, 'exec'))"
     )
+    env = dict(os.environ, NO_TEST="1", BENCH_NEO_PROBE_S="60")
     proc = subprocess.run(
-        [sys.executable, "-c", snippet, REPO, vcf, fasta,
+        [sys.executable, "-c", wrapper, REPO, vcf, fasta,
          str(d / "out")],
         capture_output=True, text=True, timeout=300, env=env,
     )

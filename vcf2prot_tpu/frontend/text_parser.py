@@ -42,8 +42,12 @@ def split_csq_string(csq: str) -> list:
         raise CsqParseError(
             "Skipping this transcript as it is not a protein coding transcript"
         )
-    if fields[0] == "start_lost":
-        # short-form start_lost: synthesize the canonical erased-start change
+    if fields[0] == "start_lost" and len(fields) >= 3:
+        # short-form start_lost: synthesize the canonical erased-start change.
+        # Fewer than 3 fields falls through to the parse error below -- the
+        # reference panics on its res[2] there (text_parser.rs:46, an
+        # out-of-bounds index); clean skip per the ARCHITECTURE 5 policy,
+        # matching the native tier's f.size() >= 3 guard.
         return [fields[0], fields[2], "1M>1*"]
     raise CsqParseError(
         f"Incorrect number of fields, expected 6, received {len(fields) - 1} "
