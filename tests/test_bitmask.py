@@ -52,3 +52,30 @@ def test_pipeline_from_sample_field():
     hap1, hap2 = decode_bitmask(mask)
     assert hap1 == []
     assert hap2 == [0, 1, 2, 3, 4, 5, 6]
+
+
+def test_dollar_mask_with_junk_aborts_cleanly():
+    """Fuzz-found: a malformed sample field whose last ':' chunk contains
+    commas AND ends with '$' reached the scalar decode branch with junk;
+    the reference's parse unwrap panics there and the native tier raises
+    FatalError, so the Python tier must raise the clean abort error, never
+    a raw ValueError."""
+    import pytest
+
+    from vcf2prot_tpu.frontend import text_parser as tp
+
+    field = "UcR$|J:kE|*gSW|+,xK| utL|46K|F7z|cR$"
+    mask = tp.get_bit_mask(field)
+    with pytest.raises(tp.InvalidBitMaskError):
+        decode_bitmask(mask)
+
+
+def test_negative_dollar_mask_aborts_not_loops():
+    """-N$ given directly to the decoder must abort (arithmetic shift never
+    zeroes a negative word -- this used to loop forever)."""
+    import pytest
+
+    from vcf2prot_tpu.frontend import text_parser as tp
+
+    with pytest.raises(tp.InvalidBitMaskError):
+        decode_bitmask("-5$")

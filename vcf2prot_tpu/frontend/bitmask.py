@@ -34,7 +34,13 @@ def decode_bitmask(mask: str):
     if mask == DEF_CONSEQ or mask == "0$":
         return None
     if mask.endswith("$"):
-        words = [int(mask[:-1])]
+        # normalized scalars from get_bit_mask are pre-validated ints, but a
+        # malformed field can reach here with junk before the '$' (e.g. a
+        # comma-containing word that dodged CSV normalization); the
+        # reference's parse unwrap panics on it and the native tier raises
+        # FatalError, so abort cleanly here too. A negative word must also
+        # abort: Python's arithmetic shift never zeroes it (infinite loop).
+        words = [_parse_u32_word(mask[:-1])]
     else:
         words = [_parse_u32_word(w) for w in mask.split(",")]
     hap1: list = []
