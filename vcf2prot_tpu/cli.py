@@ -104,6 +104,13 @@ def build_parser() -> argparse.ArgumentParser:
         ),
     )
     p.add_argument(
+        "--neoantigen_top",
+        type=int,
+        default=200,
+        metavar="N",
+        help="ranked rows kept per sample in the neoantigen TSVs",
+    )
+    p.add_argument(
         "--no-native",
         action="store_true",
         help="disable the C++ fast path (use the Python reference path)",
@@ -153,6 +160,7 @@ def main(argv=None) -> int:
         neoantigen_device=args.neoantigen_device,
         neoantigen_params=args.neoantigen_params,
         neoantigen_only=args.neoantigen_only,
+        neoantigen_top=args.neoantigen_top,
     )
     if args.neoantigen_only and not args.neoantigen_k:
         sys.exit("--neoantigen_only requires --neoantigen_k K")

@@ -72,6 +72,8 @@ class PipelineConfig:
     # (downstream/device_resident.py) -- tapes never cross the device->host
     # link, only [samples, top] score rows do
     neoantigen_only: bool = False
+    # ranked rows kept per sample in the neoantigen TSVs
+    neoantigen_top: int = 200
 
 
 @dataclass
@@ -353,8 +355,8 @@ def run_pipeline(cfg: PipelineConfig) -> PipelineResult:
         with timer.stage("Neoantigen scoring (device-resident)"):
             write_device_neoantigen_reports(
                 cfg.outdir, proband_names, flat, blob, cfg.neoantigen_k,
-                params=neo_params, chunk_res_bytes=cfg.chunk_res_bytes,
-                mesh=mesh,
+                params=neo_params, top=cfg.neoantigen_top,
+                chunk_res_bytes=cfg.chunk_res_bytes, mesh=mesh,
             )
         for p in flat:
             result.n_haplotype_seqs += len(p.annotations)
@@ -388,7 +390,7 @@ def run_pipeline(cfg: PipelineConfig) -> PipelineResult:
 
             write_neoantigen_report(
                 cfg.outdir, proband_names[i], (hap1, hap2), (h1, h2),
-                cfg.neoantigen_k, params=neo_params,
+                cfg.neoantigen_k, params=neo_params, top=cfg.neoantigen_top,
             )
         return (
             len(hap1.annotations) + len(hap2.annotations),
@@ -463,7 +465,7 @@ def run_pipeline(cfg: PipelineConfig) -> PipelineResult:
 
             write_reports_from_candidates(
                 cfg.outdir, proband_names, flat, neo_acc.arrays(),
-                cfg.neoantigen_k, params=neo_params,
+                cfg.neoantigen_k, params=neo_params, top=cfg.neoantigen_top,
             )
 
     result.n_samples = len(proband_names)
