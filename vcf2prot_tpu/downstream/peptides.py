@@ -113,13 +113,23 @@ def mutated_window_mask(alt_mask: np.ndarray, starts: np.ndarray, k: int):
 
 
 def encode_windows(windows):
-    """uint8 residue windows -> one-hot bfloat16 [m, k, 21] for MXU matmuls."""
-    import jax
+    """uint8 residue windows -> one-hot bfloat16 [m, k, 21] for MXU matmuls.
+
+    GATHER-FREE: the residue id is found by comparing each byte against the
+    20 alphabet constants (one vectorized equality per class, 'other' = no
+    match) instead of a 256-entry LUT take -- per-element gathers cost
+    ~8 ns/lane on real TPU hardware (ARCHITECTURE 2.3), which made the LUT
+    lookup the dominant cost of the whole scoring chain (~580 ms of a
+    ~795 ms dense pass at 8M windows). Bit-identical to
+    one_hot(lut[windows]): ALPHABET bytes are distinct, so exactly one
+    class column (or 'other') is 1.
+    """
     import jax.numpy as jnp
 
-    lut = jnp.asarray(_alphabet_lut())
-    ids = jnp.take(lut, windows.astype(jnp.int32))
-    return jax.nn.one_hot(ids, 21, dtype=jnp.bfloat16)
+    ab = jnp.asarray(np.frombuffer(ALPHABET.encode(), np.uint8))
+    eq = windows[..., None] == ab  # [m, k, 20]
+    other = ~jnp.any(eq, axis=-1, keepdims=True)
+    return jnp.concatenate([eq, other], axis=-1).astype(jnp.bfloat16)
 
 
 def neoantigen_candidates(prog, tape, k: int = 9):

@@ -84,12 +84,12 @@ def score_windows(windows, params: dict):
     import jax
     import jax.numpy as jnp
 
-    lut = jnp.asarray(_alphabet_lut())
-    ids = jnp.take(lut, windows.astype(jnp.int32))           # [m, k]
+    from .peptides import encode_windows
+
     m, k = windows.shape
-    onehot = jax.nn.one_hot(ids, VOCAB, dtype=jnp.bfloat16).reshape(
-        m, k * VOCAB
-    )
+    # gather-free one-hot (see encode_windows: a LUT take costs ~8 ns/lane
+    # on TPU and dominated the whole chain)
+    onehot = encode_windows(windows).reshape(m, k * VOCAB)
     embed = jnp.asarray(params["embed"], jnp.float32)
     w1 = jnp.asarray(params["w1"], jnp.float32)
     hidden = w1.shape[1]
