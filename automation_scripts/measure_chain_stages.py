@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""Stage-split of the device-resident neoantigen chain on the real TPU.
+
+Times, with honest 1-byte-fetch sync (block_until_ready is a no-op on the
+forwarded link, CLAUDE.md): the dense pass (execute + masks + gather-free
+one-hot scoring), the rank pass (stable sort + per-sample selection), the
+full run_chunk including the [S, top] fetches, and the bare fetch round
+trip. This is the measurement that exposed the one-hot LUT gather as the
+chain's dominant cost in round 3 (~580 ms of a ~795 ms dense pass; fixed by
+peptides.encode_windows -- ARCHITECTURE 2.6).
+
+Usage:  timeout 1200 python automation_scripts/measure_chain_stages.py
+Env:    NEO_SAMPLES (64), NEO_TRANSCRIPTS (600), NEO_REPS (3)
+"""
+import os
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(
+    0,
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"
+    ),
+)
+
+N_SAMPLES = int(os.environ.get("NEO_SAMPLES", "64"))
+N_TXP = int(os.environ.get("NEO_TRANSCRIPTS", "600"))
+REPS = int(os.environ.get("NEO_REPS", "3"))
+K = 9
+
+
+def main():
+    # first-touch probe: see CLAUDE.md (a fresh process's first device
+    # interaction stalls for minutes ~half the time; retry in a new process)
+    def probe():
+        import numpy as np
+
+        import jax
+        import jax.numpy as jnp
+
+        x = jax.device_put(np.ones(1024, np.float32), jax.devices()[0])
+        float(np.asarray(jnp.sum(x).reshape(1))[0])
+        probe.ok = True
+
+    probe.ok = False
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(240)
+    if not probe.ok:
+        print("device first-touch stalled; re-run in a fresh process")
+        os._exit(3)
+
+    import numpy as np
+
+    import jax
+    from genvcf import random_cohort, write_fasta, write_synthetic_vcf
+    from vcf2prot_tpu.compiler.haplotype import RefBlob
+    from vcf2prot_tpu.compiler.qc import QC_OFF
+    from vcf2prot_tpu.downstream import device_resident as dr
+    from vcf2prot_tpu.downstream.scoring import init_params
+    from vcf2prot_tpu.frontend import fasta as fasta_mod
+    from vcf2prot_tpu.native_bridge import compile_cohort_native
+    from vcf2prot_tpu.runtime.pack import pack_cohort, pad_to_bucket
+
+    workdir = "/tmp/vcf2prot_neochain"
+    os.makedirs(workdir, exist_ok=True)
+    vcf = os.path.join(workdir, f"c_{N_SAMPLES}x{N_TXP}.vcf")
+    fasta = os.path.join(workdir, f"r_{N_TXP}.fasta")
+    if not (os.path.exists(vcf) and os.path.exists(fasta)):
+        ref, samples = random_cohort(
+            seed=20260820, n_samples=N_SAMPLES, n_transcripts=N_TXP
+        )
+        write_synthetic_vcf(vcf, ref, samples)
+        write_fasta(fasta, ref)
+    ref_seqs = fasta_mod.read_fasta(fasta)
+    blob = RefBlob.from_ref_seqs(ref_seqs)
+    _, programs, _ = compile_cohort_native(vcf, ref_seqs, blob, QC_OFF)
+    params = init_params(K)
+    eng = dr.DeviceNeoantigenEngine(blob, K, params=params, top=200)
+    packed = pack_cohort(programs, blob)
+    ann_s_raw, ann_e_raw = dr._chunk_annotation_spans(programs, packed.spans)
+    n_samples = len(programs) // 2
+    out_bucket = pad_to_bucket(packed.total_res)
+    task_bucket = pad_to_bucket(len(packed.dst))
+    imax = np.iinfo(np.int32).max
+    dst = np.full(task_bucket, imax, np.int32)
+    dst[: len(packed.dst)] = packed.dst
+    srcb = np.zeros(task_bucket, np.int32)
+    srcb[: len(packed.src_biased)] = packed.src_biased
+    exe = np.zeros(task_bucket, np.int8)
+    exe[: len(packed.src_biased)] = packed.src_biased >= len(blob.data)
+    ann_bucket = pad_to_bucket(max(len(ann_s_raw), 1))
+    ann_s = np.full(ann_bucket, imax, np.int32)
+    ann_s[: len(ann_s_raw)] = ann_s_raw
+    ann_e = np.zeros(ann_bucket, np.int32)
+    ann_e[: len(ann_e_raw)] = ann_e_raw
+    s_bucket = pad_to_bucket(n_samples)
+    st = np.full(s_bucket, imax, np.int32)
+    st[:n_samples] = [packed.spans[2 * i][1] for i in range(n_samples)]
+    combined = eng._combined(packed)
+    put = lambda a: jax.device_put(a, eng.device)  # noqa: E731
+    blk = min(out_bucket, 1 << 19)
+    dense = dr._dense_fn(out_bucket, K, blk)
+    rank = dr._rank_fn(out_bucket, K, s_bucket, 200)
+    args_d = (combined, put(dst), put(srcb), put(exe), put(ann_s),
+              put(ann_e), params, np.int32(packed.total_res))
+
+    def sync1(x):
+        np.asarray(x.ravel()[:1])
+
+    print(f"cohort {N_SAMPLES}x{N_TXP}: out_bucket {out_bucket} "
+          f"({packed.total_res / 1e6:.1f} MB live)", flush=True)
+    t0 = time.perf_counter()
+    tape, cand, scores = dense(*args_d)
+    vals, gpos, wins = rank(tape, cand, scores, put(st))
+    sync1(vals)
+    print(f"cold (compile or cache-load + run): "
+          f"{time.perf_counter() - t0:.1f}s", flush=True)
+
+    def best(f):
+        ts = []
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            f()
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    t_sync = best(lambda: sync1(tape))
+    t_dense = best(lambda: sync1(dense(*args_d)[2]))
+    t_rank = best(lambda: sync1(rank(tape, cand, scores, put(st))[0]))
+    t_full = best(lambda: eng.run_chunk(programs))
+    print(f"1-byte fetch round trip: {t_sync * 1e3:.0f} ms", flush=True)
+    print(f"dense (execute+mask+score) incl sync: {t_dense * 1e3:.0f} ms",
+          flush=True)
+    print(f"rank (sort+select) incl sync: {t_rank * 1e3:.0f} ms", flush=True)
+    print(f"full run_chunk incl [S,top] fetches: {t_full * 1e3:.0f} ms "
+          f"({N_SAMPLES / t_full:.0f} samples/s)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
+    sys.stdout.flush()
+    os._exit(0)
