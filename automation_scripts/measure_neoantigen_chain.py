@@ -37,6 +37,29 @@ K = 9
 
 
 def main():
+    # first-touch probe (CLAUDE.md): a fresh process's first device
+    # interaction stalls for minutes ~half the time and rarely recovers;
+    # detect it under a deadline and exit retryably instead of wedging
+    import threading
+
+    def probe():
+        import numpy as np
+
+        import jax
+        import jax.numpy as jnp
+
+        x = jax.device_put(np.ones(1024, np.float32), jax.devices()[0])
+        float(np.asarray(jnp.sum(x).reshape(1))[0])
+        probe.ok = True
+
+    probe.ok = False
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(240)
+    if not probe.ok:
+        print("device first-touch stalled; re-run in a fresh process")
+        os._exit(3)
+
     from genvcf import random_cohort, write_fasta, write_synthetic_vcf
     from vcf2prot_tpu.compiler.haplotype import RefBlob
     from vcf2prot_tpu.compiler.qc import QC_OFF
