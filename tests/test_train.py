@@ -72,6 +72,28 @@ def test_shape_validation():
         fit(win, labels, k=8)
 
 
+def test_empty_training_set_raises():
+    """n=0 (e.g. --holdout 1.0) must be a clear input error, not a
+    ZeroDivisionError inside the jitted trace."""
+    with pytest.raises(ValueError, match="no training rows"):
+        fit(np.zeros((0, K), np.uint8), np.zeros(0, np.float32))
+
+
+def test_mesh_fit_nonpow2_mesh():
+    """A 6-device mesh must work: batch_size rounds up to a multiple of the
+    mesh size instead of raising on the power-of-two bucket."""
+    from vcf2prot_tpu.parallel.mesh import make_mesh
+
+    win, labels = toy_task(n=300, seed=17)
+    params = fit(win, labels, epochs=1, batch_size=100, seed=2,
+                 mesh=make_mesh(6))
+    # sanity: trained params score finitely and differ from init
+    s = np.asarray(score_windows(win[:64], params))
+    assert np.isfinite(s).all()
+    s0 = np.asarray(score_windows(win[:64], init_params(K, seed=2)))
+    assert not np.allclose(s, s0)
+
+
 def test_mesh_fit_matches_single_device():
     """Data-parallel fit over the virtual 8-device dp mesh: identical
     shuffle sequence and update math (global-count denominator, psum'd

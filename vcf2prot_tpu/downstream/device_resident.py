@@ -6,8 +6,8 @@ neoantigen workload is different: its *output* is per-sample top-k peptide
 rows, a few hundred KB per cohort. This module keeps the whole compute chain
 on device --
 
-    execute (gather)  ->  alt/validity masks  ->  candidate compaction
-    ->  bf16 MXU scoring  ->  per-sample top-k
+    execute (gather)  ->  alt/validity masks  ->  dense bf16 MXU scoring
+    ->  per-sample top-k
 
 -- and fetches only ``[S, top]`` scores/positions plus ``[S, top, k]`` peptide
 bytes, so the slow link stops being the bottleneck and the TPU becomes

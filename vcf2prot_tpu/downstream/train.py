@@ -70,6 +70,11 @@ def fit(windows: np.ndarray, labels: np.ndarray, k: int = None,
     windows = np.asarray(windows, np.uint8)
     labels = np.asarray(labels, np.float32)
     n, wk = windows.shape
+    if n == 0:
+        raise ValueError(
+            "no training rows: windows is empty (e.g. --holdout 1.0 leaves "
+            "nothing to fit on)"
+        )
     if k is None:
         k = wk
     if wk != k:
@@ -84,6 +89,11 @@ def fit(windows: np.ndarray, labels: np.ndarray, k: int = None,
     n_shards = mesh.devices.size if mesh is not None else 1
     batch_size = min(_bucket(batch_size), _bucket(max(n, 1)))
     batch_size = max(batch_size, n_shards)  # every shard sees >= 1 row
+    if batch_size % n_shards:
+        # non-power-of-two meshes (e.g. 6 devices): round up to the next
+        # multiple so every shard takes an equal slice of every batch --
+        # padding + masking absorbs the extra rows exactly like bucketing
+        batch_size += n_shards - batch_size % n_shards
     n_batches = (n + batch_size - 1) // batch_size
     padded = n_batches * batch_size
     win_p = np.zeros((padded, k), np.uint8)
@@ -179,11 +189,7 @@ def fit(windows: np.ndarray, labels: np.ndarray, k: int = None,
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
-        if batch_size % n_shards:
-            raise ValueError(
-                f"batch_size {batch_size} must divide by the mesh size "
-                f"{n_shards}"
-            )
+        assert batch_size % n_shards == 0  # rounded up above
         rows = batch_size // n_shards
 
         def per_shard(p, st, key, wd, yd, md):
