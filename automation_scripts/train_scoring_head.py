@@ -8,7 +8,8 @@ with MSE. The forward used for training is the exact serving forward
 scores bit-for-bit at ranking time.
 
     python automation_scripts/train_scoring_head.py data.tsv out.npz \
-        [--epochs 30] [--lr 1e-3] [--batch 4096] [--seed 0] [--holdout 0.2]
+        [--epochs 30] [--lr 1e-3] [--batch 4096] [--seed 0] [--holdout 0.2] \
+        [--embed_dim 32] [--hidden 128] [--depth 1]
 
 Then:  vcf2prot-tpu ... --neoantigen_k K --neoantigen_params out.npz
 """
@@ -60,13 +61,20 @@ def main():
     ap.add_argument("--l2", type=float, default=0.0)
     ap.add_argument("--holdout", type=float, default=0.2,
                     help="fraction held out for the final AUC report")
+    ap.add_argument("--embed_dim", type=int, default=32,
+                    help="per-position embedding width")
+    ap.add_argument("--hidden", type=int, default=128,
+                    help="hidden-layer width")
+    ap.add_argument("--depth", type=int, default=1,
+                    help="number of hidden layers")
     args = ap.parse_args()
 
-    from vcf2prot_tpu.downstream.scoring import score_windows
+    from vcf2prot_tpu.downstream.scoring import init_params, score_windows
     from vcf2prot_tpu.downstream.train import auc, fit, save_params
 
     windows, labels, k = read_tsv(args.tsv)
-    log(f"{len(windows)} peptides, k={k}")
+    log(f"{len(windows)} peptides, k={k}; head "
+        f"E={args.embed_dim} H={args.hidden} depth={args.depth}")
     rng = np.random.default_rng(args.seed)
     order = rng.permutation(len(windows))
     n_hold = int(len(windows) * args.holdout)
@@ -75,6 +83,8 @@ def main():
         windows[tr], labels[tr], k=k, epochs=args.epochs,
         batch_size=args.batch, learning_rate=args.lr, seed=args.seed,
         l2=args.l2, verbose=True,
+        params=init_params(k, embed_dim=args.embed_dim, hidden=args.hidden,
+                           depth=args.depth, seed=args.seed),
     )
     save_params(args.out_npz, params)
     log(f"saved {args.out_npz}")

@@ -146,6 +146,50 @@ def test_load_params_roundtrip_and_validation(tmp_path):
         scoring.load_params(str(bad2), k)
 
 
+def test_load_params_multilayer_roundtrip_and_validation(tmp_path):
+    """load_params accepts any contiguous w1..wN stack and validates the
+    shape chain; save/load round-trips deeper heads."""
+    import pytest
+
+    from vcf2prot_tpu.downstream.train import save_params
+
+    k = 9
+    params = scoring.init_params(k, embed_dim=16, hidden=(64, 32), seed=2)
+    assert scoring.layer_names(params) == ["w1", "w2", "w3"]
+    path = tmp_path / "deep.npz"
+    save_params(str(path), params)
+    loaded = scoring.load_params(str(path), k)
+    for key in params:
+        np.testing.assert_array_equal(loaded[key], params[key])
+    win = np.frombuffer(b"ACDEFGHIK" * 4, np.uint8).reshape(4, k)
+    np.testing.assert_array_equal(
+        np.asarray(scoring.score_windows(win, loaded)),
+        np.asarray(scoring.score_windows(win, params)),
+    )
+    # broken chain: w2 input width disagrees with w1 output
+    bad = dict(params)
+    bad["w2"] = params["w2"][:-1]
+    badp = tmp_path / "bad.npz"
+    np.savez(badp, **bad)
+    with pytest.raises(ValueError, match="w2 expects"):
+        scoring.load_params(str(badp), k)
+    # gap in the stack (w1, w3 but no w2)
+    gap = {key: v for key, v in params.items() if key not in ("w2", "b2")}
+    gapp = tmp_path / "gap.npz"
+    np.savez(gapp, **gap)
+    with pytest.raises(ValueError, match="contiguous dense stack"):
+        scoring.load_params(str(gapp), k)
+    # non-[H,1] output head
+    flat = {
+        "embed": params["embed"], "w1": params["w1"], "b1": params["b1"],
+        "w2": params["w2"], "b2": params["b2"],
+    }
+    flatp = tmp_path / "flat.npz"
+    np.savez(flatp, **flat)
+    with pytest.raises(ValueError, match="output head"):
+        scoring.load_params(str(flatp), k)
+
+
 def test_cli_neoantigen_params(tmp_path):
     from vcf2prot_tpu.cli import main
 

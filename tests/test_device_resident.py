@@ -66,6 +66,21 @@ def test_run_chunk_matches_host_rows(seed):
     _assert_rows_match(dev_rows, host_rows)
 
 
+def test_run_chunk_matches_host_rows_nondefault_head():
+    """Row agreement must hold at non-default head sizes (wider + deeper):
+    the device chain's scoring is size-generic, not pinned to the 32x128
+    scaffold (ARCHITECTURE 2.6 head-size sweep)."""
+    _names, progs, blob = build_cohort(seed=5, n_samples=3)
+    k = 9
+    params = init_params(k, embed_dim=16, hidden=96, depth=2, seed=11)
+    eng = DeviceNeoantigenEngine(blob, k, params=params, top=50)
+    dev_rows = eng.run_chunk(progs)
+    assert dev_rows is not None
+    host_rows = _host_chunk_rows(progs, blob, k, params, 50)
+    assert any(len(r) > 0 for r in dev_rows.values())
+    _assert_rows_match(dev_rows, host_rows)
+
+
 def test_run_chunk_top_truncation():
     _names, progs, blob = build_cohort(seed=9, n_samples=2)
     k = 9

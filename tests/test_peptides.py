@@ -148,3 +148,22 @@ def test_host_report_math_matches_device_math():
     s_d = np.asarray(scoring.score_windows(win_d, params))
     # device path computes in bf16; host in fp32
     np.testing.assert_allclose(s_h, s_d, rtol=0.05, atol=0.05)
+
+
+def test_host_scores_match_device_at_nondefault_head_sizes():
+    """The configurable head (width AND depth) must keep the numpy twin and
+    the jax forward in agreement -- the host/device contract is size-generic."""
+    from vcf2prot_tpu.downstream import report, scoring
+
+    prog, tape = build_case(seed=9)
+    k = 9
+    win, _ = report._host_candidates(prog, tape, k)
+    for kwargs in (
+        {"embed_dim": 16, "hidden": 64},
+        {"embed_dim": 8, "hidden": 48, "depth": 3},
+        {"hidden": (96, 24)},
+    ):
+        params = scoring.init_params(k, seed=3, **kwargs)
+        s_h = report._host_scores(win, params)
+        s_d = np.asarray(scoring.score_windows(win, params))
+        np.testing.assert_allclose(s_h, s_d, rtol=0.05, atol=0.05)

@@ -39,13 +39,18 @@ def _host_candidates(prog, tape, k):
 
 def _host_scores(windows, params):
     """Numpy twin of scoring.score_windows (fp32 throughout; the one-hot @
-    embedding contraction is just an embedding-row gather)."""
+    embedding contraction is just an embedding-row gather). Applies the
+    same configurable dense stack (scoring.layer_names order)."""
+    from .scoring import layer_names
+
     lut = _alphabet_lut()
     ids = lut[windows.astype(np.int64)]
     x = params["embed"][ids]                                # [m, k, E]
-    x = x.reshape(x.shape[0], -1)
-    h = np.maximum(x @ params["w1"] + params["b1"], 0.0)
-    return (h @ params["w2"])[:, 0] + params["b2"][0]
+    h = x.reshape(x.shape[0], -1)
+    names = layer_names(params)
+    for name in names[:-1]:
+        h = np.maximum(h @ params[name] + params["b" + name[1:]], 0.0)
+    return (h @ params[names[-1]])[:, 0] + params["b" + names[-1][1:]][0]
 
 
 def _transcript_of(annotations, start: int) -> str:

@@ -233,11 +233,11 @@ def fit(windows: np.ndarray, labels: np.ndarray, k: int = None,
 
 def save_params(path: str, params: dict) -> None:
     """Save trained weights in the ``--neoantigen_params`` schema
-    (scoring.load_params validates shapes on the way back in)."""
+    (scoring.load_params validates shapes on the way back in); any head
+    width/depth round-trips."""
     np.savez(
         path,
-        **{name: np.asarray(params[name], np.float32)
-           for name in ("embed", "w1", "b1", "w2", "b2")},
+        **{name: np.asarray(v, np.float32) for name, v in params.items()},
     )
 
 
