@@ -176,6 +176,26 @@ def test_multi_chunk_run_presents_one_shape_set(tmp_path, monkeypatch):
     assert len(shapes["rank"]) == 1, shapes["rank"]
 
 
+def test_interleaved_dispatch_collect_matches_sequential():
+    """The writer's double-buffer dispatches chunk N+1 before collecting
+    chunk N; two in-flight chunks must decode to exactly the sequential
+    run_chunk rows (no shared mutable state between handles)."""
+    _names, progs, blob = build_cohort(seed=13, n_samples=4)
+    k = 9
+    params = init_params(k)
+    eng = DeviceNeoantigenEngine(blob, k, params=params, top=50)
+    a, b = progs[:4], progs[4:]
+    from vcf2prot_tpu.downstream.device_resident import run_buckets
+
+    buckets = run_buckets(progs, [[0, 1, 2, 3], [4, 5, 6, 7]])
+    h_a = eng.dispatch(a, buckets=buckets)
+    h_b = eng.dispatch(b, buckets=buckets)  # both in flight
+    rows_a, rows_b = eng.collect(h_a), eng.collect(h_b)
+    eng2 = DeviceNeoantigenEngine(blob, k, params=params, top=50)
+    _assert_rows_match(rows_a, eng2.run_chunk(a, buckets=buckets))
+    _assert_rows_match(rows_b, eng2.run_chunk(b, buckets=buckets))
+
+
 def test_non_contiguous_chunk_returns_none():
     blob = RefBlob.from_ref_seqs({"T": "ABCDEFGH"})
     bad = HaplotypeProgram(
@@ -212,9 +232,13 @@ def test_fallback_writes_match_host(tmp_path, monkeypatch):
     must produce exactly the host-cohort files."""
     names, progs, blob = build_cohort(seed=3, n_samples=2)
     k = 9
+    from vcf2prot_tpu.downstream.device_resident import ChunkHandle
+
     monkeypatch.setattr(
-        DeviceNeoantigenEngine, "run_chunk",
-        lambda self, progs, buckets=None: None,
+        DeviceNeoantigenEngine, "dispatch",
+        lambda self, progs, buckets=None: ChunkHandle(
+            "host", len(progs) // 2, None, None, None, None, None
+        ),
     )
     a = tmp_path / "host"
     b = tmp_path / "fallback"

@@ -271,14 +271,39 @@ def run_buckets(programs, chunks) -> Buckets:
     )
 
 
+class ChunkHandle(NamedTuple):
+    """In-flight device work for one chunk (see ``dispatch``/``collect``).
+
+    ``kind``: ``"device"`` (vals/gpos/wins are async device arrays),
+    ``"empty"`` (no window fits; collect returns empty rows), or ``"host"``
+    (the chunk cannot run on device; collect returns None and the caller
+    falls back to the host chain).
+    """
+
+    kind: str
+    n_samples: int
+    sample_starts: object   # i32[n_samples] chunk-coordinate segment starts
+    hap1_lens: object       # per-sample haplotype-1 tape length
+    vals: object            # [S, top] scores (device, async)
+    gpos: object            # [S, top] global tape positions (device, async)
+    wins: object            # [S, top, k] peptide bytes (device, async)
+
+
 class DeviceNeoantigenEngine:
     """Chunked device-resident executor+scorer.
 
-    ``run(programs)`` returns per-sample candidate rows
+    ``run_chunk(programs)`` returns per-sample candidate rows
     ``[(score, hap_no, hap_local_pos, peptide_bytes), ...]`` sorted by
     descending score, top ``top`` per sample -- the same rows the host-batched
     path (downstream/cohort.py) produces, with ~1000x less device->host
     traffic.
+
+    ``dispatch``/``collect`` split that into an async launch and a blocking
+    fetch so a multi-chunk driver can keep chunk N+1's dense+rank computing
+    on device while chunk N's ``[S, top]`` rows cross the (slow) host link --
+    the analogue of the reference keeping every worker busy end-to-end
+    (reference: src/parts/exec.rs:36-39) and of the FASTA executor's
+    dispatch/collect (runtime/tpu_engine.py).
     """
 
     def __init__(self, blob: RefBlob, k: int, params=None, top: int = 200,
@@ -322,23 +347,32 @@ class DeviceNeoantigenEngine:
 
         ``buckets`` pins the device shapes run-wide (see :class:`Buckets`);
         None sizes them for this chunk alone."""
+        return self.collect(self.dispatch(programs, buckets=buckets))
+
+    def dispatch(self, programs, buckets: Buckets = None) -> ChunkHandle:
+        """Pack + launch one chunk WITHOUT blocking; pair with
+        :meth:`collect`. The dense+rank dispatches are async, so the device
+        computes this chunk while the caller fetches a previous one."""
         import jax
 
         packed = pack_cohort(programs, self.blob)
+        n_samples = len(programs) // 2
+        host = ChunkHandle("host", n_samples, None, None, None, None, None)
         if not packed.contiguous or packed.total_res == 0:
-            return None
+            return host
         if packed.dst.dtype != np.int32:
             # >2 GiB chunks escalate the pack to int64; the int32 delta
             # expansion would overflow -- chunk smaller or fall back
-            return None
+            return host
         ann_spans = _chunk_annotation_spans(programs, packed.spans)
         if ann_spans is None:
-            return None
+            return host
         ann_starts, ann_ends = ann_spans
-        n_samples = len(programs) // 2
         if self.k > packed.total_res:
             # no window can fit; skip building the [out, k] window stack
-            return {i: [] for i in range(n_samples)}
+            return ChunkHandle(
+                "empty", n_samples, None, None, None, None, None
+            )
         sample_starts = np.asarray(
             [packed.spans[2 * i][1] for i in range(n_samples)], np.int32
         )
@@ -384,19 +418,36 @@ class DeviceNeoantigenEngine:
         vals, gpos, wins = _rank_fn(
             out_bucket, self.k, s_bucket, self.top
         )(tape, cand, scores, put(st))
+        hap1_lens = [
+            packed.spans[2 * i][2] - packed.spans[2 * i][1]
+            for i in range(n_samples)
+        ]
+        return ChunkHandle(
+            "device", n_samples, sample_starts, hap1_lens, vals, gpos, wins
+        )
+
+    def collect(self, handle: ChunkHandle):
+        """Blocking fetch + row decode of a dispatched chunk; returns the
+        ``run_chunk`` row dict, or None for a ``"host"`` handle (the caller
+        runs the host fallback)."""
+        if handle.kind == "host":
+            return None
+        if handle.kind == "empty":
+            return {i: [] for i in range(handle.n_samples)}
+        n_samples = handle.n_samples
         # the ONLY bulk fetch: [S, top] scores+positions, [S, top, k] bytes
-        vals = np.asarray(vals)[:n_samples]
-        gpos = np.asarray(gpos)[:n_samples]
-        wins = np.asarray(wins)[:n_samples]
+        vals = np.asarray(handle.vals)[:n_samples]
+        gpos = np.asarray(handle.gpos)[:n_samples]
+        wins = np.asarray(handle.wins)[:n_samples]
         out = {}
         for i in range(n_samples):
-            hap1_len = packed.spans[2 * i][2] - packed.spans[2 * i][1]
+            hap1_len = handle.hap1_lens[i]
             rows = []
-            for r in range(self.top):
+            for r in range(vals.shape[1]):
                 sc = float(vals[i, r])
                 if sc == -np.inf:
                     break
-                local = int(gpos[i, r]) - int(sample_starts[i])
+                local = int(gpos[i, r]) - int(handle.sample_starts[i])
                 if local < hap1_len:
                     hap, hpos = 1, local
                 else:
@@ -440,10 +491,9 @@ def write_device_neoantigen_reports(outdir, proband_names, programs, blob,
                                      device=device)
         buckets = run_buckets(programs, chunks)
     paths = []
-    for chunk in chunks:
-        progs = [programs[i] for i in chunk]
-        rows = eng.run_chunk(progs, buckets=buckets)
-        if rows is None:
+
+    def write_rows(chunk, progs, rows):
+        if rows is None:  # "host" handle: run the fallback chain
             rows = _host_chunk_rows(progs, blob, k, params, top)
         for local_i, sample_rows in rows.items():
             sample_idx = chunk[2 * local_i] // 2
@@ -466,6 +516,20 @@ def write_device_neoantigen_reports(outdir, proband_names, programs, blob,
                         f"{sc:.6f}\n"
                     )
             paths.append(path)
+
+    # double-buffered drive: dispatch chunk N+1 BEFORE collecting chunk N,
+    # so the device computes the next chunk while the previous chunk's
+    # [S, top] rows cross the host link and its TSVs hit disk (the fetch +
+    # write leg costs ~0.5-5 s of link round trip here; overlap hides it)
+    pending = None
+    for chunk in chunks:
+        progs = [programs[i] for i in chunk]
+        handle = eng.dispatch(progs, buckets=buckets)
+        if pending is not None:
+            write_rows(pending[0], pending[1], eng.collect(pending[2]))
+        pending = (chunk, progs, handle)
+    if pending is not None:
+        write_rows(pending[0], pending[1], eng.collect(pending[2]))
     return paths
 
 

@@ -31,6 +31,7 @@ import numpy as np
 from ..compiler.haplotype import RefBlob
 from ..downstream.device_resident import (
     Buckets,
+    ChunkHandle,
     _chunk_annotation_spans,
     _dense_core,
     _rank_core,
@@ -145,11 +146,18 @@ class ShardedNeoantigenEngine:
         self.params = params if params is not None else init_params(k)
 
     def run_chunk(self, programs, buckets: Buckets = None):
+        return self.collect(self.dispatch(programs, buckets=buckets))
+
+    def dispatch(self, programs, buckets: Buckets = None) -> ChunkHandle:
+        """Async launch of one chunk over the mesh; pair with
+        :meth:`collect` (same contract as the single-device engine)."""
         import jax.numpy as jnp
 
+        n_pairs = len(programs) // 2
         n_shards = self.mesh.devices.size
+        host = ChunkHandle("host", n_pairs, None, None, None, None, None)
         if not all(program_is_contiguous(p) for p in programs):
-            return None
+            return host
         pair_shards = partition_pairs(programs, n_shards)
         shard_progs = [
             [q for i in idxs for q in (programs[2 * i], programs[2 * i + 1])]
@@ -157,15 +165,15 @@ class ShardedNeoantigenEngine:
         ]
         packed = [pack_cohort(sp, self.blob) for sp in shard_progs]
         if not all(p.contiguous for p in packed):
-            return None
+            return host
         if any(p.dst.dtype != np.int32 for p in packed):
-            return None  # >2 GiB shard: chunk smaller or fall back
+            return host  # >2 GiB shard: chunk smaller or fall back
         ann = [
             _chunk_annotation_spans(sp, p.spans)
             for sp, p in zip(shard_progs, packed)
         ]
         if any(a is None for a in ann):
-            return None
+            return host
         # grow provided buckets to this chunk's true needs (an undersized
         # axis would silently truncate the shard arrays); callers sizing
         # buckets with shard_buckets() keep the one-compile property
@@ -177,7 +185,9 @@ class ShardedNeoantigenEngine:
             else Buckets(*(max(a, b) for a, b in zip(buckets, local)))
         )
         if self.k > buckets.out:
-            return {i: [] for i in range(len(programs) // 2)}
+            return ChunkHandle(
+                "empty", n_pairs, None, None, None, None, None
+            )
         shared_alt = (
             bool(packed) and packed[0].alt_key is not None
             and all(p.alt_key == packed[0].alt_key for p in packed)
@@ -218,16 +228,36 @@ class ShardedNeoantigenEngine:
             jnp.asarray(self.blob.data), alt, dst, srcb, exe, ann_s, ann_e,
             starts, total_res, self.params,
         )
-        vals = np.asarray(vals)
-        gpos = np.asarray(gpos)
-        wins = np.asarray(wins)
+        # decode metadata rides the handle's start/len slots, shaped
+        # [(pair_idx, seg_start, hap1_len), ...] per shard
+        decode = [
+            [
+                (pair_idx, packed[d].spans[2 * i][1],
+                 shard_progs[d][2 * i].res_len)
+                for i, pair_idx in enumerate(pair_idxs)
+            ]
+            for d, pair_idxs in enumerate(pair_shards)
+        ]
+        return ChunkHandle(
+            "device", n_pairs, decode, None, vals, gpos, wins
+        )
+
+    def collect(self, handle: ChunkHandle):
+        """Blocking fetch + row decode; None for a ``"host"`` handle."""
+        if handle.kind == "host":
+            return None
+        if handle.kind == "empty":
+            return {i: [] for i in range(handle.n_samples)}
+        vals = np.asarray(handle.vals)
+        gpos = np.asarray(handle.gpos)
+        wins = np.asarray(handle.wins)
         out = {}
-        for d, pair_idxs in enumerate(pair_shards):
-            for local_i, pair_idx in enumerate(pair_idxs):
-                hap1_len = shard_progs[d][2 * local_i].res_len
-                seg_start = packed[d].spans[2 * local_i][1]
+        for d, shard_decode in enumerate(handle.sample_starts):
+            for local_i, (pair_idx, seg_start, hap1_len) in enumerate(
+                shard_decode
+            ):
                 rows = []
-                for r in range(self.top):
+                for r in range(vals.shape[2]):
                     sc = float(vals[d, local_i, r])
                     if sc == -np.inf:
                         break
