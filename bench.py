@@ -108,20 +108,28 @@ def run_with_watchdog(fn, seconds, label):
     """Run a diagnostic under a watchdog thread: a stalled forwarded device
     link (multi-minute hangs, CLAUDE.md) must cost one abandoned daemon
     thread, never the bench's JSON line. The interpreter exits via
-    ``os._exit`` so leaked threads cannot hang teardown."""
+    ``os._exit`` so leaked threads cannot hang teardown. Returns fn's
+    result, or None if the watchdog expired."""
     import threading
 
-    t = threading.Thread(target=fn, daemon=True)
+    box = {}
+
+    def run():
+        box["result"] = fn()
+
+    t = threading.Thread(target=run, daemon=True)
     t.start()
     t.join(seconds)
     if t.is_alive():
         log(f"{label} watchdog expired after {seconds}s (device link "
             "stalled); continuing")
+    return box.get("result")
 
 
 def measure_device_throughput(vcf, fasta):
     """Warm device-execute throughput (the kernel itself, excluding the
-    host link), reported to stderr for diagnostics."""
+    host link), reported to stderr for diagnostics; returns output GB/s
+    (or None off-device / on failure) for the structured JSON line."""
     import numpy as np
 
     from vcf2prot_tpu.compiler.haplotype import RefBlob
@@ -177,13 +185,16 @@ def measure_device_throughput(vcf, fasta):
             out = run(combined, dst_d, srcb_d)
         sync(out)
         dt = (time.perf_counter() - t0) / reps
+        gbps = packed.total_res / dt / 1e9
         log(
             f"device execute (kernel only, {packed.total_res / 1e6:.1f} MB "
             f"result): {dt * 1e3:.3f} ms/iter = "
-            f"{packed.total_res / dt / 1e9:.1f} GB/s output"
+            f"{gbps:.3f} GB/s output"
         )
+        return gbps
     except Exception as err:
         log(f"device throughput probe skipped: {err}")
+        return None
 
 
 def measure_shared_regime():
@@ -356,6 +367,7 @@ def measure_neoantigen_e2e():
     if "tpu" in results and "mt" in results:
         log(f"neoantigen device/host speed ratio: "
             f"{results['mt']['dt'] / results['tpu']['dt']:.2f}x warm")
+    return results
 
 
 def main():
@@ -371,13 +383,32 @@ def main():
         vs_baseline = ref_dt / ours_dt
     else:
         vs_baseline = float("nan")
+    # structured fields for the flagship device story: carried in the
+    # parsed stdout JSON so cross-round regression tracking is mechanical
+    # (stderr stays the human-readable diagnostic log)
+    extra = {}
     if os.environ.get("BENCH_DEVICE_METRIC", "1") == "1":
-        run_with_watchdog(
+        gbps = run_with_watchdog(
             lambda: measure_device_throughput(vcf, fasta), 600,
             "device throughput probe",
         )
+        if gbps:
+            extra["kernel_gbps"] = round(gbps, 4)
     if os.environ.get("BENCH_NEOANTIGEN", "1") == "1":
-        measure_neoantigen_e2e()  # subprocesses with their own timeouts
+        neo = measure_neoantigen_e2e()  # subprocesses w/ their own timeouts
+        if "tpu" in neo:
+            extra["neo_device_warm_s"] = round(neo["tpu"]["dt"], 3)
+            extra["neo_cold_s"] = round(neo["tpu"]["cold"], 3)
+        if "mt" in neo:
+            extra["neo_host_warm_s"] = round(neo["mt"]["dt"], 3)
+            extra["neo_host_cold_s"] = round(neo["mt"]["cold"], 3)
+        if "tpu" in neo and "mt" in neo:
+            extra["neo_ratio"] = round(
+                neo["mt"]["dt"] / neo["tpu"]["dt"], 3
+            )
+            extra["neo_cold_ratio"] = round(
+                neo["mt"]["cold"] / neo["tpu"]["cold"], 3
+            )
     if os.environ.get("BENCH_SHARED", "1") == "1":
         try:
             measure_shared_regime()
@@ -390,6 +421,7 @@ def main():
                 "value": round(N_SAMPLES / ours_dt, 3),
                 "unit": "samples/s",
                 "vs_baseline": round(vs_baseline, 3),
+                **extra,
             }
         )
     )
