@@ -9,8 +9,13 @@ trip. This is the measurement that exposed the one-hot LUT gather as the
 chain's dominant cost in round 3 (~580 ms of a ~795 ms dense pass; fixed by
 peptides.encode_windows -- ARCHITECTURE 2.6).
 
+Every stage time also prints its %-of-peak denominator (utils/roofline):
+MFU against bf16 MXU peak for the dense scoring pass, HBM-bandwidth
+fraction for the executor-shaped and sort-shaped stages.
+
 Usage:  timeout 1200 python automation_scripts/measure_chain_stages.py
-Env:    NEO_SAMPLES (64), NEO_TRANSCRIPTS (600), NEO_REPS (3)
+Env:    NEO_SAMPLES (64), NEO_TRANSCRIPTS (600), NEO_REPS (3),
+        NEO_EMBED (32), NEO_HIDDEN (128), NEO_DEPTH (1) -- head size
 """
 import os
 import sys
@@ -28,6 +33,9 @@ sys.path.insert(
 N_SAMPLES = int(os.environ.get("NEO_SAMPLES", "64"))
 N_TXP = int(os.environ.get("NEO_TRANSCRIPTS", "600"))
 REPS = int(os.environ.get("NEO_REPS", "3"))
+EMBED = int(os.environ.get("NEO_EMBED", "32"))
+HIDDEN = int(os.environ.get("NEO_HIDDEN", "128"))
+DEPTH = int(os.environ.get("NEO_DEPTH", "1"))
 K = 9
 
 
@@ -77,7 +85,7 @@ def main():
     ref_seqs = fasta_mod.read_fasta(fasta)
     blob = RefBlob.from_ref_seqs(ref_seqs)
     _, programs, _ = compile_cohort_native(vcf, ref_seqs, blob, QC_OFF)
-    params = init_params(K)
+    params = init_params(K, embed_dim=EMBED, hidden=HIDDEN, depth=DEPTH)
     eng = dr.DeviceNeoantigenEngine(blob, K, params=params, top=200)
     packed = pack_cohort(programs, blob)
     ann_s_raw, ann_e_raw = dr._chunk_annotation_spans(programs, packed.spans)
@@ -101,7 +109,7 @@ def main():
     st[:n_samples] = [packed.spans[2 * i][1] for i in range(n_samples)]
     combined = eng._combined(packed)
     put = lambda a: jax.device_put(a, eng.device)  # noqa: E731
-    blk = min(out_bucket, 1 << 19)
+    blk = dr.dense_blk(out_bucket, params)
     dense = dr._dense_fn(out_bucket, K, blk)
     rank = dr._rank_fn(out_bucket, K, s_bucket, 200)
     args_d = (combined, put(dst), put(srcb), put(exe), put(ann_s),
@@ -131,12 +139,46 @@ def main():
     t_dense = best(lambda: sync1(dense(*args_d)[2]))
     t_rank = best(lambda: sync1(rank(tape, cand, scores, put(st))[0]))
     t_full = best(lambda: eng.run_chunk(programs))
+
+    from vcf2prot_tpu.utils.roofline import (
+        dense_pass_flops,
+        executor_bytes,
+        hbm_fraction,
+        mfu,
+        peak_bf16_flops,
+        peak_hbm_bps,
+        scoring_flops_per_window,
+    )
+
+    print(f"head: E={EMBED} H={HIDDEN} depth={DEPTH} "
+          f"({scoring_flops_per_window(params) / 1e3:.1f} kFLOP/window, "
+          f"block {blk})", flush=True)
     print(f"1-byte fetch round trip: {t_sync * 1e3:.0f} ms", flush=True)
-    print(f"dense (execute+mask+score) incl sync: {t_dense * 1e3:.0f} ms",
+    # the dense pass = executor (HBM-shaped) + scoring (MXU-shaped); its
+    # MFU denominator uses all out_bucket windows because the kernel
+    # really scores the padding too
+    flops = dense_pass_flops(out_bucket, params)
+    t_d = max(t_dense - t_sync, 1e-9)
+    print(f"dense (execute+mask+score) incl sync: {t_dense * 1e3:.0f} ms "
+          f"-> {flops / 1e12:.2f} TFLOP = {mfu(flops, t_d) * 100:.1f}% of "
+          f"bf16 MXU peak ({peak_bf16_flops() / 1e12:.0f} TF/s)",
           flush=True)
-    print(f"rank (sort+select) incl sync: {t_rank * 1e3:.0f} ms", flush=True)
+    # rank: one 3-operand stable sort over out_bucket lanes; minimal
+    # traffic = log2 rounds x read+write of (key, key, value) i32 lanes
+    import math
+
+    sort_bytes = out_bucket * 12 * 2 * math.log2(max(out_bucket, 2))
+    t_r = max(t_rank - t_sync, 1e-9)
+    print(f"rank (sort+select) incl sync: {t_rank * 1e3:.0f} ms "
+          f"-> >= {sort_bytes / 1e9:.1f} GB sort traffic = "
+          f"{hbm_fraction(sort_bytes, t_r) * 100:.1f}% of HBM peak "
+          f"({peak_hbm_bps() / 1e9:.0f} GB/s)", flush=True)
+    ex_bytes = executor_bytes(out_bucket)
+    print(f"  (executor-shaped share of dense: {ex_bytes / 1e9:.2f} GB "
+          f"minimal HBM traffic)", flush=True)
     print(f"full run_chunk incl [S,top] fetches: {t_full * 1e3:.0f} ms "
-          f"({N_SAMPLES / t_full:.0f} samples/s)", flush=True)
+          f"({N_SAMPLES / t_full:.0f} samples/s; whole-chain MFU "
+          f"{mfu(flops, t_full) * 100:.1f}%)", flush=True)
 
 
 if __name__ == "__main__":

@@ -57,9 +57,24 @@ import numpy as np
 from ..compiler.haplotype import RefBlob
 from ..runtime.pack import pack_cohort, pad_to_bucket
 from .report import _transcript_of
-from .scoring import init_params, score_windows
+from .scoring import init_params, layer_names, score_windows
 
 NEG = np.float32(-np.inf)
+
+
+def dense_blk(out_bucket: int, params: dict) -> int:
+    """lax.map block size for the dense scoring pass, scaled so the widest
+    fp32 hidden activation [blk, H] stays ~256 MB regardless of head width
+    (wide heads at the round-3 fixed 1<<19 block would materialize
+    multi-GB intermediates)."""
+    width = max(
+        (params[name].shape[1] for name in layer_names(params)), default=128
+    )
+    blk = (1 << 28) // (4 * max(int(width), 128))
+    blk = 1 << (blk.bit_length() - 1)  # floor to a power of two
+    blk = max(1 << 13, blk)
+    # out_bucket is a power of two, so blk <= out_bucket always divides it
+    return min(out_bucket, blk, 1 << 19)
 
 
 def _expand_delta(jnp, vals, starts, out_len):
@@ -410,7 +425,7 @@ class DeviceNeoantigenEngine:
         st = np.full(s_bucket, imax, np.int32)
         st[:n_samples] = sample_starts
         put = lambda a: jax.device_put(a, self.device)  # noqa: E731
-        blk = min(out_bucket, 1 << 19)
+        blk = dense_blk(out_bucket, self.params)
         tape, cand, scores = _dense_fn(out_bucket, self.k, blk)(
             combined, put(dst), put(srcb), put(exe), put(ann_s), put(ann_e),
             self.params, np.int32(packed.total_res),

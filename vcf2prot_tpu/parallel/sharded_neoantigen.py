@@ -35,6 +35,7 @@ from ..downstream.device_resident import (
     _chunk_annotation_spans,
     _dense_core,
     _rank_core,
+    dense_blk,
 )
 from ..downstream.scoring import init_params
 from ..runtime.pack import pack_cohort, pad_to_bucket, program_is_contiguous
@@ -221,7 +222,7 @@ class ShardedNeoantigenEngine:
             total_res[d] = p.total_res
             if not shared_alt:
                 alt[d, : len(p.alt)] = p.alt
-        blk = min(buckets.out, 1 << 19)
+        blk = dense_blk(buckets.out, self.params)
         run = _sharded_chain(self.mesh, buckets, self.k, blk, self.top,
                              shared_alt)
         vals, gpos, wins = run(
