@@ -20,7 +20,7 @@ import functools
 import numpy as np
 
 from .peptides import alt_byte_mask, valid_window_starts
-from .report import _host_candidates, _transcript_of
+from .report import _host_candidates, _span_of
 
 
 class CohortCandidates:
@@ -132,10 +132,8 @@ def write_reports_from_candidates(outdir, proband_names, progs, candidates,
             for j in order:
                 prog = progs[2 * i + (int(haps[j]) - 1)]
                 s = int(starts[j])
-                name = _transcript_of(prog.annotations, s)
-                rel = s - next(
-                    st for n, st, _e in prog.annotations if n == name
-                )
+                name, span_start = _span_of(prog.annotations, s)
+                rel = s - span_start
                 fh.write(
                     f"{bytes(windows[j]).decode('ascii')}\t{haps[j]}\t"
                     f"{name}\t{rel}\t{scores[j]:.6f}\n"

@@ -56,7 +56,7 @@ import numpy as np
 
 from ..compiler.haplotype import RefBlob
 from ..runtime.pack import pack_cohort, pad_to_bucket
-from .report import _transcript_of
+from .report import _span_of
 from .scoring import init_params, layer_names, score_windows
 
 NEG = np.float32(-np.inf)
@@ -522,10 +522,8 @@ def write_device_neoantigen_reports(outdir, proband_names, programs, blob,
                 )
                 for sc, hap, hpos, pep in sample_rows:
                     prog = hap_pair[hap - 1]
-                    name = _transcript_of(prog.annotations, hpos)
-                    rel = hpos - next(
-                        s for n, s, _e in prog.annotations if n == name
-                    )
+                    name, span_start = _span_of(prog.annotations, hpos)
+                    rel = hpos - span_start
                     fh.write(
                         f"{pep.decode('ascii')}\t{hap}\t{name}\t{rel}\t"
                         f"{sc:.6f}\n"

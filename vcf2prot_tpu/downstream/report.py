@@ -53,11 +53,27 @@ def _host_scores(windows, params):
     return (h @ params[names[-1]])[:, 0] + params["b" + names[-1][1:]][0]
 
 
-def _transcript_of(annotations, start: int) -> str:
+def _span_of(annotations, start: int):
+    """(transcript name, span start) of the span covering tape position
+    ``start``. Array-backed annotations tile the tape in sorted order, so
+    this is one binary search -- the TSV writers call it per output row
+    (samples x top rows), where the tuple-iteration scan was O(spans) per
+    row and dominated the device-resident writer's host time."""
+    if hasattr(annotations, "starts"):
+        j = int(np.searchsorted(annotations.ends, start, side="right"))
+        if j < len(annotations) and int(annotations.starts[j]) <= start:
+            return annotations.names[int(annotations.idx[j])], int(
+                annotations.starts[j]
+            )
+        return "?", start
     for name, s, e in annotations:
         if s <= start < e:
-            return name
-    return "?"
+            return name, s
+    return "?", start
+
+
+def _transcript_of(annotations, start: int) -> str:
+    return _span_of(annotations, start)[0]
 
 
 def write_neoantigen_report(outdir, proband, haps, tapes, k: int,
@@ -86,10 +102,8 @@ def write_neoantigen_report(outdir, proband, haps, tapes, k: int,
     with open(path, "w") as fh:
         fh.write("peptide\thaplotype\ttranscript\tprotein_start\tscore\n")
         for sc, hap_idx, prog, w, s in pool[:top]:
-            name = _transcript_of(prog.annotations, s)
-            rel = s - next(
-                st for n, st, _e in prog.annotations if n == name
-            )
+            name, span_start = _span_of(prog.annotations, s)
+            rel = s - span_start
             fh.write(
                 f"{bytes(w).decode('ascii')}\t{hap_idx}\t{name}\t{rel}\t"
                 f"{sc:.6f}\n"
