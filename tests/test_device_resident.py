@@ -237,7 +237,7 @@ def test_fallback_writes_match_host(tmp_path, monkeypatch):
     monkeypatch.setattr(
         DeviceNeoantigenEngine, "dispatch",
         lambda self, progs, buckets=None: ChunkHandle(
-            "host", len(progs) // 2, None, None, None, None, None
+            "host", len(progs) // 2, None, None, None
         ),
     )
     a = tmp_path / "host"

@@ -139,6 +139,30 @@ def _dense_core(combined, dst, srcb, exe, ann_starts, ann_ends, params,
     return tape, cand, jnp.where(cand, scores, NEG)
 
 
+def _pack_rows(jnp, vals, gpos, wins):
+    """Bitcast-pack (scores f32[..., top], positions i32[..., top], peptide
+    bytes u8[..., top, k]) into ONE u8[..., top, 8+k] buffer.
+
+    Every device->host fetch costs a full link round trip (~0.5-5 s on the
+    forwarded link, CLAUDE.md) regardless of size; one packed buffer per
+    chunk replaces three fetches. Unpacked by :func:`_unpack_rows`.
+    """
+    import jax
+
+    vb = jax.lax.bitcast_convert_type(vals, jnp.uint8)
+    gb = jax.lax.bitcast_convert_type(gpos.astype(jnp.int32), jnp.uint8)
+    return jnp.concatenate([vb, gb, wins], axis=-1)
+
+
+def _unpack_rows(buf):
+    """Host twin of :func:`_pack_rows`: u8[..., top, 8+k] -> (f32 scores,
+    i32 positions, u8[..., top, k] bytes)."""
+    lead = buf.shape[:-1]
+    vals = np.ascontiguousarray(buf[..., :4]).view(np.float32).reshape(lead)
+    gpos = np.ascontiguousarray(buf[..., 4:8]).view(np.int32).reshape(lead)
+    return vals, gpos, buf[..., 8:]
+
+
 def _rank_core(tape, cand, scores, sample_starts, *, out_bucket: int, k: int,
                s_bucket: int, top: int):
     """Per-sample top-``top`` by one stable lexicographic sort; see
@@ -198,6 +222,7 @@ def _dense_fn(out_bucket: int, k: int, blk: int):
 @functools.lru_cache(maxsize=32)
 def _rank_fn(out_bucket: int, k: int, s_bucket: int, top: int):
     import jax
+    import jax.numpy as jnp
 
     from ..utils.jaxcache import enable_persistent_cache
 
@@ -205,10 +230,11 @@ def _rank_fn(out_bucket: int, k: int, s_bucket: int, top: int):
 
     @jax.jit
     def run(tape, cand, scores, sample_starts):
-        return _rank_core(
+        vals, gpos, wins = _rank_core(
             tape, cand, scores, sample_starts,
             out_bucket=out_bucket, k=k, s_bucket=s_bucket, top=top,
         )
+        return _pack_rows(jnp, vals, gpos, wins)
 
     return run
 
@@ -299,9 +325,8 @@ class ChunkHandle(NamedTuple):
     n_samples: int
     sample_starts: object   # i32[n_samples] chunk-coordinate segment starts
     hap1_lens: object       # per-sample haplotype-1 tape length
-    vals: object            # [S, top] scores (device, async)
-    gpos: object            # [S, top] global tape positions (device, async)
-    wins: object            # [S, top, k] peptide bytes (device, async)
+    packed: object          # [.., S, top, 8+k] u8 packed rows (device, async;
+    #                         one buffer = ONE fetch round trip, _pack_rows)
 
 
 class DeviceNeoantigenEngine:
@@ -372,7 +397,7 @@ class DeviceNeoantigenEngine:
 
         packed = pack_cohort(programs, self.blob)
         n_samples = len(programs) // 2
-        host = ChunkHandle("host", n_samples, None, None, None, None, None)
+        host = ChunkHandle("host", n_samples, None, None, None)
         if not packed.contiguous or packed.total_res == 0:
             return host
         if packed.dst.dtype != np.int32:
@@ -385,9 +410,7 @@ class DeviceNeoantigenEngine:
         ann_starts, ann_ends = ann_spans
         if self.k > packed.total_res:
             # no window can fit; skip building the [out, k] window stack
-            return ChunkHandle(
-                "empty", n_samples, None, None, None, None, None
-            )
+            return ChunkHandle("empty", n_samples, None, None, None)
         sample_starts = np.asarray(
             [packed.spans[2 * i][1] for i in range(n_samples)], np.int32
         )
@@ -430,7 +453,7 @@ class DeviceNeoantigenEngine:
             combined, put(dst), put(srcb), put(exe), put(ann_s), put(ann_e),
             self.params, np.int32(packed.total_res),
         )
-        vals, gpos, wins = _rank_fn(
+        rows_packed = _rank_fn(
             out_bucket, self.k, s_bucket, self.top
         )(tape, cand, scores, put(st))
         hap1_lens = [
@@ -438,7 +461,7 @@ class DeviceNeoantigenEngine:
             for i in range(n_samples)
         ]
         return ChunkHandle(
-            "device", n_samples, sample_starts, hap1_lens, vals, gpos, wins
+            "device", n_samples, sample_starts, hap1_lens, rows_packed
         )
 
     def collect(self, handle: ChunkHandle):
@@ -450,10 +473,8 @@ class DeviceNeoantigenEngine:
         if handle.kind == "empty":
             return {i: [] for i in range(handle.n_samples)}
         n_samples = handle.n_samples
-        # the ONLY bulk fetch: [S, top] scores+positions, [S, top, k] bytes
-        vals = np.asarray(handle.vals)[:n_samples]
-        gpos = np.asarray(handle.gpos)[:n_samples]
-        wins = np.asarray(handle.wins)[:n_samples]
+        # the ONLY fetch: one packed [S, top, 8+k] buffer = one round trip
+        vals, gpos, wins = _unpack_rows(np.asarray(handle.packed)[:n_samples])
         out = {}
         for i in range(n_samples):
             hap1_len = handle.hap1_lens[i]

@@ -34,6 +34,7 @@ from ..downstream.device_resident import (
     ChunkHandle,
     _chunk_annotation_spans,
     _dense_core,
+    _pack_rows,
     _rank_core,
     dense_blk,
 )
@@ -113,7 +114,9 @@ def _sharded_chain(mesh, buckets: Buckets, k: int, blk: int, top: int,
             tape, cand, scores, starts[0],
             out_bucket=buckets.out, k=k, s_bucket=buckets.samples, top=top,
         )
-        return vals[None], gpos[None], wins[None]
+        # one packed [1, S, top, 8+k] buffer per shard: the whole mesh's
+        # results come back in ONE [D, ...] fetch (see _pack_rows)
+        return _pack_rows(jnp, vals, gpos, wins)[None]
 
     fn = shard_map(
         per_shard,
@@ -126,8 +129,7 @@ def _sharded_chain(mesh, buckets: Buckets, k: int, blk: int, top: int,
             P("dp", None), P("dp"),                # sample starts, total_res
             P(),                                   # params: replicated
         ),
-        out_specs=(P("dp", None, None), P("dp", None, None),
-                   P("dp", None, None, None)),
+        out_specs=P("dp", None, None, None),
     )
     jitted = jax.jit(fn)
     _FN_CACHE[key] = jitted
@@ -156,7 +158,7 @@ class ShardedNeoantigenEngine:
 
         n_pairs = len(programs) // 2
         n_shards = self.mesh.devices.size
-        host = ChunkHandle("host", n_pairs, None, None, None, None, None)
+        host = ChunkHandle("host", n_pairs, None, None, None)
         if not all(program_is_contiguous(p) for p in programs):
             return host
         pair_shards = partition_pairs(programs, n_shards)
@@ -186,9 +188,7 @@ class ShardedNeoantigenEngine:
             else Buckets(*(max(a, b) for a, b in zip(buckets, local)))
         )
         if self.k > buckets.out:
-            return ChunkHandle(
-                "empty", n_pairs, None, None, None, None, None
-            )
+            return ChunkHandle("empty", n_pairs, None, None, None)
         shared_alt = (
             bool(packed) and packed[0].alt_key is not None
             and all(p.alt_key == packed[0].alt_key for p in packed)
@@ -225,7 +225,7 @@ class ShardedNeoantigenEngine:
         blk = dense_blk(buckets.out, self.params)
         run = _sharded_chain(self.mesh, buckets, self.k, blk, self.top,
                              shared_alt)
-        vals, gpos, wins = run(
+        rows_packed = run(
             jnp.asarray(self.blob.data), alt, dst, srcb, exe, ann_s, ann_e,
             starts, total_res, self.params,
         )
@@ -239,19 +239,18 @@ class ShardedNeoantigenEngine:
             ]
             for d, pair_idxs in enumerate(pair_shards)
         ]
-        return ChunkHandle(
-            "device", n_pairs, decode, None, vals, gpos, wins
-        )
+        return ChunkHandle("device", n_pairs, decode, None, rows_packed)
 
     def collect(self, handle: ChunkHandle):
         """Blocking fetch + row decode; None for a ``"host"`` handle."""
+        from ..downstream.device_resident import _unpack_rows
+
         if handle.kind == "host":
             return None
         if handle.kind == "empty":
             return {i: [] for i in range(handle.n_samples)}
-        vals = np.asarray(handle.vals)
-        gpos = np.asarray(handle.gpos)
-        wins = np.asarray(handle.wins)
+        # ONE [D, S, top, 8+k] fetch for the whole mesh
+        vals, gpos, wins = _unpack_rows(np.asarray(handle.packed))
         out = {}
         for d, shard_decode in enumerate(handle.sample_starts):
             for local_i, (pair_idx, seg_start, hap1_len) in enumerate(
