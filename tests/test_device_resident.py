@@ -176,6 +176,33 @@ def test_multi_chunk_run_presents_one_shape_set(tmp_path, monkeypatch):
     assert len(shapes["rank"]) == 1, shapes["rank"]
 
 
+def test_pack_unpack_rows_roundtrip():
+    """The single-fetch packing (scores f32 + positions i32 + peptide bytes
+    bitcast into one u8 buffer) must round-trip exactly, including -inf
+    scores and high byte values."""
+    import jax.numpy as jnp
+
+    from vcf2prot_tpu.downstream.device_resident import (
+        _pack_rows,
+        _unpack_rows,
+    )
+
+    rng = np.random.default_rng(3)
+    vals = rng.standard_normal((4, 7)).astype(np.float32)
+    vals[0, 3] = -np.inf
+    gpos = rng.integers(0, 2**31 - 1, size=(4, 7)).astype(np.int32)
+    wins = rng.integers(0, 256, size=(4, 7, 9)).astype(np.uint8)
+    buf = np.asarray(
+        _pack_rows(jnp, jnp.asarray(vals), jnp.asarray(gpos),
+                   jnp.asarray(wins))
+    )
+    assert buf.shape == (4, 7, 8 + 9) and buf.dtype == np.uint8
+    v2, g2, w2 = _unpack_rows(buf)
+    np.testing.assert_array_equal(v2, vals)
+    np.testing.assert_array_equal(g2, gpos)
+    np.testing.assert_array_equal(w2, wins)
+
+
 def test_interleaved_dispatch_collect_matches_sequential():
     """The writer's double-buffer dispatches chunk N+1 before collecting
     chunk N; two in-flight chunks must decode to exactly the sequential
