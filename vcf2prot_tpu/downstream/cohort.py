@@ -80,7 +80,7 @@ def _bucket(m: int, floor: int = 1024) -> int:
 
 
 @functools.lru_cache(maxsize=16)
-def _jitted_scorer(k: int, bucket: int):
+def _jitted_scorer(k: int, bucket: int, blk: int):
     import jax
 
     from ..utils.jaxcache import enable_persistent_cache
@@ -88,7 +88,20 @@ def _jitted_scorer(k: int, bucket: int):
 
     enable_persistent_cache()
 
-    return jax.jit(score_windows)
+    if bucket <= blk:
+        return jax.jit(score_windows)
+
+    @jax.jit
+    def run(padded, params):
+        # one dispatch, lax.map over fixed blocks: bounds the one-hot /
+        # hidden activations (a 4M-row bucket at a 512-wide deep head would
+        # otherwise materialize ~8 GB of fp32 hidden state per layer)
+        return jax.lax.map(
+            lambda w: score_windows(w, params),
+            padded.reshape(bucket // blk, blk, k),
+        ).reshape(bucket)
+
+    return run
 
 
 def score_cohort(windows: np.ndarray, params: dict) -> np.ndarray:
@@ -98,13 +111,15 @@ def score_cohort(windows: np.ndarray, params: dict) -> np.ndarray:
     dense stack), so bucket padding cannot perturb live rows; results are
     bit-identical to scoring the exact-size batch.
     """
+    from .device_resident import dense_blk
+
     m, k = windows.shape
     if m == 0:
         return np.zeros(0, np.float32)
     bucket = _bucket(m)
     padded = np.zeros((bucket, k), dtype=np.uint8)
     padded[:m] = windows
-    run = _jitted_scorer(k, bucket)
+    run = _jitted_scorer(k, bucket, dense_blk(bucket, params))
     return np.asarray(run(padded, params))[:m]
 
 
