@@ -122,8 +122,8 @@ def main():
           f"({packed.total_res / 1e6:.1f} MB live)", flush=True)
     t0 = time.perf_counter()
     tape, cand, scores = dense(*args_d)
-    vals, gpos, wins = rank(tape, cand, scores, put(st))
-    sync1(vals)
+    rows = rank(tape, cand, scores, put(st))  # packed [S, top, 8+k] buffer
+    sync1(rows)
     print(f"cold (compile or cache-load + run): "
           f"{time.perf_counter() - t0:.1f}s", flush=True)
 
@@ -137,7 +137,7 @@ def main():
 
     t_sync = best(lambda: sync1(tape))
     t_dense = best(lambda: sync1(dense(*args_d)[2]))
-    t_rank = best(lambda: sync1(rank(tape, cand, scores, put(st))[0]))
+    t_rank = best(lambda: sync1(rank(tape, cand, scores, put(st))))
     t_full = best(lambda: eng.run_chunk(programs))
 
     from vcf2prot_tpu.utils.roofline import (

@@ -26,6 +26,22 @@ zero-length-task starts telescope to the last task, same tie rule).
 
 No data-dependent control flow, no raggedness on device: chunk totals are
 padded to power-of-two buckets and sliced exactly on the host.
+
+**Word-aligned executor (production since round 4).** The compiler owns
+task boundaries, so the pack can be re-expressed at word granularity on the
+host: every task splits into word-uniform middle words plus an explicit
+boundary-byte list (``build_aligned_program``). The device kernel is then
+fix-up-free -- word-granularity delta expansion (4x fewer cumsum lanes),
+two aligned u32 loads + shift-combine per output word (4x fewer gather
+lanes than the per-byte kernel), and one small boundary byte gather +
+scatter (~5% of output bytes at the production mean task length). Measured
+on the real chip (ARCHITECTURE 2.3): 220 ms vs 296 ms for the per-byte
+delta kernel on the 33.6 MB chunk -- 1.34x, byte-identical output. The
+per-byte ``delta`` kernel remains as the fallback (``VCF2PROT_ALIGNED_EXEC=0``,
+and for >2 GiB int64 packs). The round-3 ``word`` variant's fix-up lane is
+what this removes: alignment is decided at compile time, not per lane at
+run time (reference analogue: task.rs:38-50's copy_from_slice is word-copy
+via memcpy).
 """
 from __future__ import annotations
 
@@ -41,6 +57,89 @@ from .pack import (
 )
 
 _EXECUTE_CACHE = {}
+
+
+def build_aligned_program(dst, src_biased, total_res: int,
+                          combined_len: int):
+    """Host-side compile pass for the word-aligned executor.
+
+    Splits the contiguous task stream into (a) word-uniform MIDDLE words --
+    output words fully covered by one task whose word loads stay in bounds
+    -- expressed as a word-granularity delta program (``wstart`` word index
+    of each task's first middle word, ``wbase`` = src - dst), and (b) an
+    explicit BOUNDARY byte list (positions + sources) for every byte of a
+    non-uniform word. Tasks whose source span ends within 8 bytes of the
+    combined tape are demoted entirely to boundary bytes so the kernel's
+    two-word loads never read garbage that survives into output.
+
+    Returns ``(wstart i32[n], wbase i32[n], bpos i64[b], bsrc i64[b])``
+    (unpadded; the caller buckets them).
+    """
+    d = dst.astype(np.int64)
+    s = src_biased.astype(np.int64)
+    ends = np.append(d[1:], total_res)
+    lens = ends - d
+    w_first = (d + 3) >> 2
+    w_last = ends >> 2  # exclusive
+    safe = (s + lens) <= (combined_len - 8)
+    has_mid = (w_last > w_first) & safe
+    n_words = (total_res + 3) >> 2
+    cover = np.zeros(n_words + 1, np.int32)
+    np.add.at(cover, w_first[has_mid], 1)
+    np.add.at(cover, w_last[has_mid], -1)
+    uniform = np.cumsum(cover[:-1]) > 0
+    bwords = np.nonzero(~uniform)[0]
+    bpos = (bwords[:, None] * 4 + np.arange(4)[None, :]).reshape(-1)
+    bpos = bpos[bpos < total_res]
+    t = np.searchsorted(d, bpos, side="right") - 1
+    bsrc = s[t] + bpos - d[t]
+    return (w_first.astype(np.int32), (s - d).astype(np.int32), bpos, bsrc)
+
+
+def _get_aligned_jitted():
+    """Jitted word-aligned executor factory (see build_aligned_program);
+    jit specializes on the padded (task, boundary) argument shapes."""
+    import jax
+    import jax.numpy as jnp
+
+    if "aligned" in _EXECUTE_CACHE:
+        return _EXECUTE_CACHE["aligned"]
+
+    def build(out_size: int):
+        n_words = out_size // 4
+
+        @jax.jit
+        def run(combined, wstart, wbase, bpos, bsrc):
+            cw = jax.lax.bitcast_convert_type(
+                combined[: (combined.shape[0] // 4) * 4].reshape(-1, 4),
+                jnp.uint32,
+            ).reshape(-1)
+            delta = wbase - jnp.concatenate(
+                [jnp.zeros(1, wbase.dtype), wbase[:-1]]
+            )
+            acc = jnp.zeros(n_words, wbase.dtype).at[wstart].add(
+                delta, mode="drop"
+            )
+            base_w = jnp.cumsum(acc)
+            jw = jnp.arange(n_words, dtype=jnp.int32) * 4
+            g = jnp.clip(base_w + jw, 0, combined.shape[0] - 8)
+            gi = g >> 2
+            w0 = cw[gi]
+            w1 = cw[gi + 1]
+            sh = ((g & 3) * 8).astype(jnp.uint32)
+            words = jnp.where(
+                sh == 0, w0, (w0 >> sh) | (w1 << (32 - sh))
+            )
+            out = jax.lax.bitcast_convert_type(
+                words[:, None], jnp.uint8
+            ).reshape(-1)
+            bvals = jnp.take(combined, jnp.clip(bsrc, 0, combined.shape[0] - 1))
+            return out.at[bpos].set(bvals, mode="drop")
+
+        return run
+
+    _EXECUTE_CACHE["aligned"] = build
+    return build
 
 
 def _get_jitted():
@@ -197,6 +296,38 @@ class TpuEngine:
                 # keep the pool buffer alive so the id() key cannot be reused
                 # by a different object while this cache entry exists
                 self._combined_ref = packed.alt
+        import os
+
+        use_aligned = (
+            os.environ.get("VCF2PROT_ALIGNED_EXEC", "1") != "0"
+            and idx_dtype == np.int32
+            and out_bucket >= 1024
+        )
+        if use_aligned:
+            wstart, wbase, bpos, bsrc = build_aligned_program(
+                packed.dst, packed.src_biased, packed.total_res,
+                int(combined.shape[0]),
+            )
+            ws = np.full(task_bucket, np.iinfo(np.int32).max, np.int32)
+            ws[:n_tasks] = wstart
+            wb = np.zeros(task_bucket, np.int32)
+            wb[:n_tasks] = wbase
+            b_bucket = pad_to_bucket(max(len(bpos), 1))
+            bp = np.full(b_bucket, out_bucket + 8, np.int32)  # dropped
+            bp[: len(bpos)] = bpos
+            bs = np.zeros(b_bucket, np.int32)
+            bs[: len(bsrc)] = bsrc
+            key = ("aligned", out_bucket)
+            if key not in self._run_cache:
+                self._run_cache[key] = _get_aligned_jitted()(out_bucket)
+            run = self._run_cache[key]
+            return run(
+                combined,
+                jax.device_put(ws, self.device),
+                jax.device_put(wb, self.device),
+                jax.device_put(bp, self.device),
+                jax.device_put(bs, self.device),
+            )
         run = self._runner(out_bucket)
         # the device-side slice means the later fetch only pays host-link
         # bandwidth for live bytes, not bucket padding
