@@ -151,38 +151,47 @@ def measure_device_throughput(vcf, fasta):
         n = len(packed.dst)
         tb = pad_to_bucket(n)
         ob = pad_to_bucket(packed.total_res)
-        dst = np.full(tb, np.iinfo(np.int32).max, np.int32)
-        dst[:n] = packed.dst
-        srcb = np.zeros(tb, np.int32)
-        srcb[:n] = packed.src_biased
         dev = jax.devices()[0]
         combined = jnp.concatenate(
             [jax.device_put(blob.data, dev), jax.device_put(packed.alt, dev)]
         )
-        dst_d = jax.device_put(dst, dev)
-        srcb_d = jax.device_put(srcb, dev)
+        # the PRODUCTION kernel: the word-aligned executor
+        # (runtime/tpu_engine.py, 1.34x the per-byte delta kernel on the
+        # real chip -- ARCHITECTURE 2.3), pre-uploaded so this times the
+        # kernel alone
+        from vcf2prot_tpu.runtime.tpu_engine import (
+            _get_aligned_jitted,
+            build_aligned_program,
+        )
 
-        @jax.jit
-        def run(c, d, sb):
-            # covering-task expansion by delta-scatter + cumsum (the
-            # production kernel, runtime/tpu_engine.py)
-            v = sb - d
-            delta = v - jnp.concatenate([jnp.zeros(1, v.dtype), v[:-1]])
-            acc = jnp.zeros(ob, v.dtype).at[d].add(delta, mode="drop")
-            j = jnp.arange(ob, dtype=jnp.int32)
-            g = jnp.clip(jnp.cumsum(acc) + j, 0, c.shape[0] - 1)
-            return jnp.take(c, g)
+        wstart, wbase, bpos, bsrc = build_aligned_program(
+            packed.dst, packed.src_biased, packed.total_res,
+            int(combined.shape[0]),
+        )
+        ws = np.full(tb, np.iinfo(np.int32).max, np.int32)
+        ws[:n] = wstart
+        wb = np.zeros(tb, np.int32)
+        wb[:n] = wbase
+        bb = pad_to_bucket(max(len(bpos), 1))
+        bp = np.full(bb, ob + 8, np.int32)
+        bp[: len(bpos)] = bpos
+        bs = np.zeros(bb, np.int32)
+        bs[: len(bsrc)] = bsrc
+        args = tuple(
+            jax.device_put(a, dev) for a in (ws, wb, bp, bs)
+        )
+        run = _get_aligned_jitted()(ob)
 
         def sync(x):
             # on the forwarded dev link block_until_ready returns before the
             # computation finishes; a 1-byte D2H fetch is the only true sync
             np.asarray(x[:1])
 
-        sync(run(combined, dst_d, srcb_d))  # compile
+        sync(run(combined, *args))  # compile
         reps = 5
         t0 = time.perf_counter()
         for _ in range(reps):
-            out = run(combined, dst_d, srcb_d)
+            out = run(combined, *args)
         sync(out)
         dt = (time.perf_counter() - t0) / reps
         gbps = packed.total_res / dt / 1e9
