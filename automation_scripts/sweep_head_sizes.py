@@ -64,6 +64,11 @@ if not _probe.ok:
 from vcf2prot_tpu.pipeline import PipelineConfig, run_pipeline
 from vcf2prot_tpu.runtime.engine import Engine
 def one(mode):
+    # tpu  = fully device-resident chain;
+    # mt   = hybrid: host execute + host collection + ONE device scoring
+    #        batch (the best host-centric design when a TPU exists);
+    # host = pure host: numpy scoring, no accelerator anywhere -- the
+    #        reference's actual capability level (its GPU engine is a stub)
     outdir = outbase + "_" + mode
     shutil.rmtree(outdir, ignore_errors=True); os.makedirs(outdir)
     cfg = PipelineConfig(
@@ -71,7 +76,7 @@ def one(mode):
         engine=Engine.TPU if mode == "tpu" else Engine.MT,
         num_threads=os.cpu_count(), qc=None,
         neoantigen_k=9, neoantigen_only=True,
-        neoantigen_device=(mode != "tpu"),
+        neoantigen_device=(mode == "mt"),
         neoantigen_params=npz,
     )
     t0 = time.perf_counter(); run_pipeline(cfg)
@@ -80,6 +85,9 @@ out = {}
 for mode in ("tpu", "mt"):
     cold = one(mode)
     out[mode] = {"cold": cold, "dt": min(one(mode) for _ in range(2))}
+if os.environ.get("SWEEP_HOST_ONLY", "1") == "1":
+    cold = one("host")  # pure-host leg: 1 warm rep (it is the slow anchor)
+    out["host"] = {"cold": cold, "dt": one("host")}
 print(json.dumps(out)); sys.stdout.flush()
 os._exit(0)
 """
@@ -166,34 +174,43 @@ def main():
             log(f"{label}: NO RESULT after {ATTEMPTS} attempts")
             continue
         dev, host = results["tpu"], results["mt"]
+        pure = results.get("host")
         ratio = host["dt"] / dev["dt"]
         ratio_cold = host["cold"] / dev["cold"]
+        pure_warm = pure["dt"] if pure else float("nan")
+        pure_ratio = pure["dt"] / dev["dt"] if pure else float("nan")
         chain_mfu = mfu(flops_run, dev["dt"])
         rows.append(
             (label, hidden, depth, dev["cold"], dev["dt"], host["cold"],
-             host["dt"], ratio, ratio_cold, chain_mfu)
+             host["dt"], pure_warm, ratio, ratio_cold, pure_ratio,
+             chain_mfu)
         )
         log(f"{label}: device {dev['dt']:.2f}s warm / {dev['cold']:.2f}s "
-            f"cold; host {host['dt']:.2f}s warm / {host['cold']:.2f}s "
-            f"cold; ratio {ratio:.2f}x warm {ratio_cold:.2f}x cold; "
+            f"cold; hybrid {host['dt']:.2f}s warm / {host['cold']:.2f}s "
+            f"cold; pure-host {pure_warm:.2f}s; ratio {ratio:.2f}x warm "
+            f"{ratio_cold:.2f}x cold, {pure_ratio:.1f}x vs pure-host; "
             f"e2e MFU {chain_mfu * 100:.1f}%")
 
     with open(ART, "w") as fh:
         fh.write(
-            "# head-size sweep: neoantigen e2e device-resident vs "
-            f"host-execute, {N_SAMPLES}x{N_TXP} cohort, k=9 top-200, "
-            "warm = best of 2 after cold; e2e_mfu = scored-window matmul "
+            "# head-size sweep: neoantigen e2e, three tiers on the "
+            f"{N_SAMPLES}x{N_TXP} cohort, k=9 top-200. dev = fully "
+            "device-resident; hybrid = host execute/collect + one device "
+            "scoring batch; pure_host = numpy scoring, no accelerator "
+            "(the reference's capability level). warm = best of 2 after "
+            "cold (pure_host: 1 rep); e2e_mfu = scored-window matmul "
             "FLOPs / device warm wall / bf16 peak\n"
         )
         fh.write(
-            "label\thidden\tdepth\tdev_cold_s\tdev_warm_s\thost_cold_s\t"
-            "host_warm_s\tratio_warm\tratio_cold\te2e_mfu\n"
+            "label\thidden\tdepth\tdev_cold_s\tdev_warm_s\thybrid_cold_s\t"
+            "hybrid_warm_s\tpure_host_warm_s\tratio_warm\tratio_cold\t"
+            "ratio_vs_pure_host\te2e_mfu\n"
         )
         for r in rows:
             fh.write(
                 f"{r[0]}\t{r[1]}\t{r[2]}\t{r[3]:.3f}\t{r[4]:.3f}\t"
                 f"{r[5]:.3f}\t{r[6]:.3f}\t{r[7]:.3f}\t{r[8]:.3f}\t"
-                f"{r[9]:.4f}\n"
+                f"{r[9]:.3f}\t{r[10]:.3f}\t{r[11]:.4f}\n"
             )
     log(f"wrote {ART} ({len(rows)} rows)")
 
