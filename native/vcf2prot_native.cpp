@@ -1037,7 +1037,61 @@ void drop_replicate(TranscriptGroup* g) {
   }
 }
 
-vector<TranscriptGroup> group_by_transcript(const vector<string_view>& csqs) {
+// Per-csq parse memo: shared-variant cohorts repeat the SAME csq strings
+// across thousands of carrier haplotypes (the north-star 1000G shape), so
+// the string-level lexer (split + amino-acid field parse) runs ~45% of the
+// compile lap on work it has already done. Keyed by csq content hash with
+// full-string confirm; the cached Mutation is a verbatim copy of a fresh
+// parse (string_views into the VCF text, alive through the whole compile),
+// so outputs are bit-identical with or without it. Enabled only in pool
+// mode (the probe already identified the shared-bundle regime);
+// near-unique cohorts skip it entirely -- zero overhead there.
+inline uint64_t fnv1a(uint64_t h, string_view s);
+
+struct ParseMemo {
+  struct Entry {
+    string_view csq;
+    bool ok;
+    Mutation m;
+  };
+  static constexpr size_t kShards = 64;
+  struct Shard {
+    std::mutex mu;
+    std::unordered_map<uint64_t, vector<Entry>> map;
+  };
+  Shard shards[kShards];
+  Shard& shard(uint64_t h) { return shards[(h >> 58) & (kShards - 1)]; }
+};
+
+inline bool parse_mutation_memo(string_view csq, Mutation* m,
+                                vector<string_view>* scratch,
+                                ParseMemo* pm) {
+  if (!pm) return parse_mutation(csq, m, scratch);
+  uint64_t h = fnv1a(14695981039346656037ULL, csq);
+  auto& sh = pm->shard(h);
+  {
+    std::lock_guard<std::mutex> lock(sh.mu);
+    auto it = sh.map.find(h);
+    if (it != sh.map.end())
+      for (auto& e : it->second)
+        if (e.csq == csq) {
+          if (e.ok) *m = e.m;
+          return e.ok;
+        }
+  }
+  // parse outside the lock (a racing duplicate insert is harmless: both
+  // entries are identical and the first match wins)
+  bool ok = parse_mutation(csq, m, scratch);
+  std::lock_guard<std::mutex> lock(sh.mu);
+  auto& bucket = sh.map[h];
+  for (auto& e : bucket)
+    if (e.csq == csq) return e.ok;
+  bucket.push_back(ParseMemo::Entry{csq, ok, ok ? *m : Mutation{}});
+  return ok;
+}
+
+vector<TranscriptGroup> group_by_transcript(const vector<string_view>& csqs,
+                                            ParseMemo* pmemo = nullptr) {
   std::unordered_map<string_view, size_t> index_of;
   vector<string_view> scratch;
   vector<TranscriptGroup> groups;
@@ -1046,7 +1100,7 @@ vector<TranscriptGroup> group_by_transcript(const vector<string_view>& csqs) {
   bool multi_len = false;
   size_t first_len = SIZE_MAX;
   for (size_t i = 0; i < csqs.size(); ++i) {
-    if (!parse_mutation(csqs[i], &parsed[i], &scratch)) continue;
+    if (!parse_mutation_memo(csqs[i], &parsed[i], &scratch, pmemo)) continue;
     string_view name = parsed[i].transcript;
     auto [it, inserted] = index_of.emplace(name, groups.size());
     if (inserted) {
@@ -1087,7 +1141,8 @@ vector<TranscriptGroup> group_by_transcript(const vector<string_view>& csqs) {
       if (csqs[i].find(g.name) != string_view::npos) {
         g.csqs.push_back(csqs[i]);
         Mutation m;
-        if (parse_mutation(csqs[i], &m, &scratch)) g.muts.push_back(std::move(m));
+        if (parse_mutation_memo(csqs[i], &m, &scratch, pmemo))
+          g.muts.push_back(std::move(m));
       }
     }
   }
@@ -1310,12 +1365,13 @@ void compile_haplotype(const vector<string_view>& csqs, const RefTable& table,
                        const QcFlags& qc, CompileMemo* memo,
                        AltPoolRegistry* pool, HaplotypeOut* out,
                        vector<string>* warnings, bool collect_stats,
-                       vector<TranscriptGroup>* pregrouped = nullptr) {
+                       vector<TranscriptGroup>* pregrouped = nullptr,
+                       ParseMemo* pmemo = nullptr) {
   if (std::getenv("VCF2PROT_NO_MEMO")) memo = nullptr;
   // the pooling probe already grouped the first haplotypes; reuse (consume)
   // its vectors instead of redoing the parse + conflict dedup
   vector<TranscriptGroup> groups =
-      pregrouped ? std::move(*pregrouped) : group_by_transcript(csqs);
+      pregrouped ? std::move(*pregrouped) : group_by_transcript(csqs, pmemo);
   if (collect_stats) {
     out->group_names.reserve(groups.size());
     for (auto& g : groups) {
@@ -2415,6 +2471,10 @@ CohortResult compile_cohort_impl(string_view vcf_text,
   if (probe_declined) memo.mode.store(CompileMemo::kSampling);
   AltPoolRegistry pool_registry;
   AltPoolRegistry* pool = use_pool ? &pool_registry : nullptr;
+  // the csq-level parse memo pays only where csq strings repeat across
+  // carriers -- exactly the shared-bundle regime the pool probe detected
+  ParseMemo parse_memo;
+  ParseMemo* pmemo = use_pool ? &parse_memo : nullptr;
   vector<vector<string>> warn_parts(n_haps);
   std::exception_ptr first_error;
   std::mutex err_mu;
@@ -2429,7 +2489,8 @@ CohortResult compile_cohort_impl(string_view vcf_text,
         compile_haplotype(hap_csqs[i], table, qc, &memo, pool,
                           &result.haps[i], &warn_parts[i], collect_stats,
                           i < probe_groups.size() ? &probe_groups[i]
-                                                  : nullptr);
+                                                  : nullptr,
+                          pmemo);
       } catch (...) {
         std::lock_guard<std::mutex> lock(err_mu);
         if (!first_error) first_error = std::current_exception();
