@@ -1314,6 +1314,66 @@ uint64_t group_hash(const TranscriptGroup& g) {
   return h;
 }
 
+// Pointer-keyed first-level group cache. Every carrier of a variant record
+// receives csq string_views into the SAME record text, so a group's
+// (data pointer, length) tuple sequence identifies its content exactly:
+// pointer-key equality implies byte equality (same text spans), and
+// pointer-key misses simply fall through to the content-keyed CompileMemo.
+// This turns the per-carrier cost of a repeated bundle from two full
+// content scans (group_hash + key_matches) into one pointer-tuple hash --
+// a pure cache, bit-transparent to outputs. Enabled only in pool mode
+// (the shared-bundle regime).
+struct GroupPtrMemo {
+  struct Entry {
+    vector<std::pair<const char*, size_t>> key;  // (name, then csqs)
+    std::shared_ptr<TranscriptProgram> prog;     // null = cached failure
+    int32_t seg;                                 // alt-pool segment (-1 none)
+  };
+  static constexpr size_t kShards = 64;
+  struct Shard {
+    std::mutex mu;
+    std::unordered_map<uint64_t, vector<Entry>> map;
+  };
+  Shard shards[kShards];
+  Shard& shard(uint64_t h) { return shards[(h >> 58) & (kShards - 1)]; }
+
+  static uint64_t hash(const TranscriptGroup& g) {
+    uint64_t h = 14695981039346656037ULL;
+    auto mix = [&](uint64_t v) {
+      h ^= v;
+      h *= 1099511628211ULL;
+    };
+    mix((uint64_t)(uintptr_t)g.name.data());
+    mix((uint64_t)g.name.size());
+    for (auto c : g.csqs) {
+      mix((uint64_t)(uintptr_t)c.data());
+      mix((uint64_t)c.size());
+    }
+    return h;
+  }
+
+  static bool key_eq(const vector<std::pair<const char*, size_t>>& key,
+                     const TranscriptGroup& g) {
+    if (key.size() != g.csqs.size() + 1) return false;
+    if (key[0].first != g.name.data() || key[0].second != g.name.size())
+      return false;
+    for (size_t i = 0; i < g.csqs.size(); ++i)
+      if (key[i + 1].first != g.csqs[i].data() ||
+          key[i + 1].second != g.csqs[i].size())
+        return false;
+    return true;
+  }
+
+  static vector<std::pair<const char*, size_t>> make_key(
+      const TranscriptGroup& g) {
+    vector<std::pair<const char*, size_t>> key;
+    key.reserve(g.csqs.size() + 1);
+    key.emplace_back(g.name.data(), g.name.size());
+    for (auto c : g.csqs) key.emplace_back(c.data(), c.size());
+    return key;
+  }
+};
+
 string group_full_key(const TranscriptGroup& g) {
   string key;
   size_t n = g.name.size() + 1;
@@ -1366,7 +1426,8 @@ void compile_haplotype(const vector<string_view>& csqs, const RefTable& table,
                        AltPoolRegistry* pool, HaplotypeOut* out,
                        vector<string>* warnings, bool collect_stats,
                        vector<TranscriptGroup>* pregrouped = nullptr,
-                       ParseMemo* pmemo = nullptr) {
+                       ParseMemo* pmemo = nullptr,
+                       GroupPtrMemo* gmemo = nullptr) {
   if (std::getenv("VCF2PROT_NO_MEMO")) memo = nullptr;
   // the pooling probe already grouped the first haplotypes; reuse (consume)
   // its vectors instead of redoing the parse + conflict dedup
@@ -1390,42 +1451,83 @@ void compile_haplotype(const vector<string_view>& csqs, const RefTable& table,
       continue;
     }
     auto [ref_off, ref_len, name_idx] = it->second;
-    bool memo_on = memo && memo->use();
-    uint64_t h = (memo_on || pool) ? group_hash(g) : 0;
-    bool cached = false;
-    if (memo_on) {
-      auto& sh = memo->shard(h);
+    int32_t seg = -1;
+    bool ptr_hit = false;
+    uint64_t ph = 0;
+    if (gmemo) {
+      // first level: pointer-tuple identity (carriers of a record share
+      // csq text spans) -- no content scan at all on a repeat carrier
+      ph = GroupPtrMemo::hash(g);
+      auto& sh = gmemo->shard(ph);
       std::lock_guard<std::mutex> lock(sh.mu);
-      auto mit = sh.map.find(h);
-      if (mit != sh.map.end()) {
-        for (auto& entry : mit->second) {
-          if (key_matches(entry.full_key, g)) {
-            prog = entry.prog;
-            cached = true;
+      auto git = sh.map.find(ph);
+      if (git != sh.map.end())
+        for (auto& e : git->second)
+          if (GroupPtrMemo::key_eq(e.key, g)) {
+            prog = e.prog;
+            seg = e.seg;
+            ptr_hit = true;
             break;
           }
-        }
-      }
-      memo->lookups.fetch_add(1, std::memory_order_relaxed);
-      if (cached) memo->hits.fetch_add(1, std::memory_order_relaxed);
     }
-    if (!cached) {
-      try {
-        prog = std::make_shared<TranscriptProgram>(
-            compile_transcript(g.muts, ref_len, qc));
-      } catch (const SkipTranscript& e) {
-        warnings->push_back("transcript " + string(g.name) + ": " + e.what() +
-                            "; skipped");
-        prog = nullptr;
+    if (ptr_hit) {
+      if (memo) {
+        // count as a content-memo hit so the adaptive mode's hit-rate
+        // statistics stay representative of the cohort's sharing
+        memo->lookups.fetch_add(1, std::memory_order_relaxed);
+        memo->hits.fetch_add(1, std::memory_order_relaxed);
       }
+    } else {
+      bool memo_on = memo && memo->use();
+      uint64_t h = (memo_on || pool) ? group_hash(g) : 0;
+      bool cached = false;
       if (memo_on) {
         auto& sh = memo->shard(h);
         std::lock_guard<std::mutex> lock(sh.mu);
-        auto& bucket = sh.map[h];
+        auto mit = sh.map.find(h);
+        if (mit != sh.map.end()) {
+          for (auto& entry : mit->second) {
+            if (key_matches(entry.full_key, g)) {
+              prog = entry.prog;
+              cached = true;
+              break;
+            }
+          }
+        }
+        memo->lookups.fetch_add(1, std::memory_order_relaxed);
+        if (cached) memo->hits.fetch_add(1, std::memory_order_relaxed);
+      }
+      if (!cached) {
+        try {
+          prog = std::make_shared<TranscriptProgram>(
+              compile_transcript(g.muts, ref_len, qc));
+        } catch (const SkipTranscript& e) {
+          warnings->push_back("transcript " + string(g.name) + ": " +
+                              e.what() + "; skipped");
+          prog = nullptr;
+        }
+        if (memo_on) {
+          auto& sh = memo->shard(h);
+          std::lock_guard<std::mutex> lock(sh.mu);
+          auto& bucket = sh.map[h];
+          bool present = false;
+          for (auto& entry : bucket)
+            if (key_matches(entry.full_key, g)) { present = true; break; }
+          if (!present) bucket.push_back(MemoEntry{group_full_key(g), prog});
+        }
+      }
+      if (prog && pool && !prog->alt.empty())
+        seg = pool->seg_for(h, g, prog->alt);
+      if (gmemo) {
+        auto& sh = gmemo->shard(ph);
+        std::lock_guard<std::mutex> lock(sh.mu);
+        auto& bucket = sh.map[ph];
         bool present = false;
-        for (auto& entry : bucket)
-          if (key_matches(entry.full_key, g)) { present = true; break; }
-        if (!present) bucket.push_back(MemoEntry{group_full_key(g), prog});
+        for (auto& e : bucket)
+          if (GroupPtrMemo::key_eq(e.key, g)) { present = true; break; }
+        if (!present)
+          bucket.push_back(
+              GroupPtrMemo::Entry{GroupPtrMemo::make_key(g), prog, seg});
       }
     }
     if (!prog) {
@@ -1454,10 +1556,9 @@ void compile_haplotype(const vector<string_view>& csqs, const RefTable& table,
     }
     out->ann.emplace_back(name_idx, res_counter, res_counter + prog->res_len);
     if (pool) {
-      if (!prog->alt.empty())
+      if (seg >= 0)
         out->alt_groups.push_back(AltGroupRef{
-            task_begin, (int64_t)out->exe.size(),
-            pool->seg_for(h, g, prog->alt)});
+            task_begin, (int64_t)out->exe.size(), seg});
     } else {
       out->alt.append(prog->alt);
       alt_counter += (int64_t)prog->alt.size();
@@ -2475,6 +2576,8 @@ CohortResult compile_cohort_impl(string_view vcf_text,
   // carriers -- exactly the shared-bundle regime the pool probe detected
   ParseMemo parse_memo;
   ParseMemo* pmemo = use_pool ? &parse_memo : nullptr;
+  GroupPtrMemo group_ptr_memo;
+  GroupPtrMemo* gmemo = use_pool ? &group_ptr_memo : nullptr;
   vector<vector<string>> warn_parts(n_haps);
   std::exception_ptr first_error;
   std::mutex err_mu;
@@ -2490,7 +2593,7 @@ CohortResult compile_cohort_impl(string_view vcf_text,
                           &result.haps[i], &warn_parts[i], collect_stats,
                           i < probe_groups.size() ? &probe_groups[i]
                                                   : nullptr,
-                          pmemo);
+                          pmemo, gmemo);
       } catch (...) {
         std::lock_guard<std::mutex> lock(err_mu);
         if (!first_error) first_error = std::current_exception();
