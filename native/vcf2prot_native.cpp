@@ -440,6 +440,19 @@ bool parse_mutation(string_view csq, Mutation* m,
   return false;
 }
 
+// One per-haplotype csq reference, with its transcript name pre-resolved at
+// DECODE time (once per record entry, not once per carrier): a shared
+// cohort repeats the same entry across thousands of carrier haplotypes, and
+// per-carrier name resolution (even memoized) measurably dominated the
+// compile stage (gprof: ~24% in the per-csq memo's hashtable find alone).
+// ``name`` is empty when the entry fails the full mutation parse (wrong
+// biotype / malformed AA field) -- grouping skips those, exactly like the
+// old per-carrier parse failure path.
+struct HapCsq {
+  string_view csq;
+  string_view name;
+};
+
 // ------------------------------------------------------- instruction ISA ---
 // Port of vcf2prot_tpu/compiler/instruction.py (itself mirroring
 // instruction.rs:64-1098).
@@ -1037,71 +1050,32 @@ void drop_replicate(TranscriptGroup* g) {
   }
 }
 
-// Per-csq parse memo: shared-variant cohorts repeat the SAME csq strings
-// across thousands of carrier haplotypes (the north-star 1000G shape), so
-// the string-level lexer (split + amino-acid field parse) runs ~45% of the
-// compile lap on work it has already done. Keyed by csq content hash with
-// full-string confirm; the cached Mutation is a verbatim copy of a fresh
-// parse (string_views into the VCF text, alive through the whole compile),
-// so outputs are bit-identical with or without it. Enabled only in pool
-// mode (the probe already identified the shared-bundle regime);
-// near-unique cohorts skip it entirely -- zero overhead there.
-inline uint64_t fnv1a(uint64_t h, string_view s);
+// Grouping consumes decode-time-annotated HapCsq entries: the transcript
+// name per entry was resolved once per RECORD during decode, so assembling
+// a haplotype's per-transcript groups is pure pointer work -- no string
+// parsing, no memo lookups, no per-carrier cost proportional to csq text.
+//
+// Two variants share the exact two-pass structure (including the
+// reference's substring-capture quirk, vcf_tools.rs:89-92):
+//  * group_by_transcript: eager -- also parses each valid entry's Mutation
+//    and runs the dedup/conflict gate (drop_replicate). Used by the pool
+//    probe and whenever the compile path needs muts up front.
+//  * group_by_transcript_lazy: names only, NO muts, NO dedup; muts
+//    materialize per group only on compile-memo misses (materialize_group),
+//    which is behavior-equivalent because identical bundles dedup/abort
+//    identically on their first occurrence.
 
-struct ParseMemo {
-  struct Entry {
-    string_view csq;
-    bool ok;
-    Mutation m;
-  };
-  static constexpr size_t kShards = 64;
-  struct Shard {
-    std::mutex mu;
-    std::unordered_map<uint64_t, vector<Entry>> map;
-  };
-  Shard shards[kShards];
-  Shard& shard(uint64_t h) { return shards[(h >> 58) & (kShards - 1)]; }
-};
-
-inline bool parse_mutation_memo(string_view csq, Mutation* m,
-                                vector<string_view>* scratch,
-                                ParseMemo* pm) {
-  if (!pm) return parse_mutation(csq, m, scratch);
-  uint64_t h = fnv1a(14695981039346656037ULL, csq);
-  auto& sh = pm->shard(h);
-  {
-    std::lock_guard<std::mutex> lock(sh.mu);
-    auto it = sh.map.find(h);
-    if (it != sh.map.end())
-      for (auto& e : it->second)
-        if (e.csq == csq) {
-          if (e.ok) *m = e.m;
-          return e.ok;
-        }
-  }
-  // parse outside the lock (a racing duplicate insert is harmless: both
-  // entries are identical and the first match wins)
-  bool ok = parse_mutation(csq, m, scratch);
-  std::lock_guard<std::mutex> lock(sh.mu);
-  auto& bucket = sh.map[h];
-  for (auto& e : bucket)
-    if (e.csq == csq) return e.ok;
-  bucket.push_back(ParseMemo::Entry{csq, ok, ok ? *m : Mutation{}});
-  return ok;
-}
-
-vector<TranscriptGroup> group_by_transcript(const vector<string_view>& csqs,
-                                            ParseMemo* pmemo = nullptr) {
+vector<TranscriptGroup> group_assemble(const vector<HapCsq>& csqs,
+                                       bool eager) {
   std::unordered_map<string_view, size_t> index_of;
   vector<string_view> scratch;
   vector<TranscriptGroup> groups;
   vector<size_t> parsed_group(csqs.size(), SIZE_MAX);
-  vector<Mutation> parsed(csqs.size());
   bool multi_len = false;
   size_t first_len = SIZE_MAX;
   for (size_t i = 0; i < csqs.size(); ++i) {
-    if (!parse_mutation_memo(csqs[i], &parsed[i], &scratch, pmemo)) continue;
-    string_view name = parsed[i].transcript;
+    string_view name = csqs[i].name;
+    if (name.empty()) continue;  // failed the decode-time mutation parse
     auto [it, inserted] = index_of.emplace(name, groups.size());
     if (inserted) {
       groups.emplace_back();
@@ -1132,17 +1106,25 @@ vector<TranscriptGroup> group_by_transcript(const vector<string_view>& csqs,
     size_t gi = parsed_group[i];
     if (gi == SIZE_MAX) continue;
     if (substr_capture.count(gi)) continue;  // filled below
-    groups[gi].csqs.push_back(csqs[i]);
-    groups[gi].muts.push_back(std::move(parsed[i]));
+    groups[gi].csqs.push_back(csqs[i].csq);
+    if (eager) {
+      Mutation m;
+      if (parse_mutation(csqs[i].csq, &m, &scratch))
+        groups[gi].muts.push_back(std::move(m));
+    }
   }
   for (auto& [gi, _] : substr_capture) {
     TranscriptGroup& g = groups[gi];
     for (size_t i = 0; i < csqs.size(); ++i) {
-      if (csqs[i].find(g.name) != string_view::npos) {
-        g.csqs.push_back(csqs[i]);
-        Mutation m;
-        if (parse_mutation_memo(csqs[i], &m, &scratch, pmemo))
-          g.muts.push_back(std::move(m));
+      // the capture quirk matches by TEXT, so even parse-failed entries
+      // join the captured group's csq list (reference behavior)
+      if (csqs[i].csq.find(g.name) != string_view::npos) {
+        g.csqs.push_back(csqs[i].csq);
+        if (eager) {
+          Mutation m;
+          if (parse_mutation(csqs[i].csq, &m, &scratch))
+            g.muts.push_back(std::move(m));
+        }
       }
     }
   }
@@ -1150,8 +1132,30 @@ vector<TranscriptGroup> group_by_transcript(const vector<string_view>& csqs,
             [](const TranscriptGroup& a, const TranscriptGroup& b) {
               return a.name < b.name;
             });
-  for (auto& g : groups) drop_replicate(&g);
+  if (eager)
+    for (auto& g : groups) drop_replicate(&g);
   return groups;
+}
+
+vector<TranscriptGroup> group_by_transcript(const vector<HapCsq>& csqs) {
+  return group_assemble(csqs, /*eager=*/true);
+}
+
+vector<TranscriptGroup> group_by_transcript_lazy(const vector<HapCsq>& csqs) {
+  return group_assemble(csqs, /*eager=*/false);
+}
+
+// Build a lazy group's muts + run the dedup/conflict gate -- called only on
+// compile-memo misses (one per distinct bundle).
+inline void materialize_group(TranscriptGroup* g,
+                              vector<string_view>* scratch) {
+  g->muts.clear();
+  g->muts.reserve(g->csqs.size());
+  for (auto c : g->csqs) {
+    Mutation m;
+    if (parse_mutation(c, &m, scratch)) g->muts.push_back(std::move(m));
+  }
+  drop_replicate(g);
 }
 
 // -------------------------------------------------------- haplotype fusion ---
@@ -1335,6 +1339,7 @@ struct GroupPtrMemo {
     std::unordered_map<uint64_t, vector<Entry>> map;
   };
   Shard shards[kShards];
+  std::atomic<uint64_t> n_hits{0}, n_miss{0};
   Shard& shard(uint64_t h) { return shards[(h >> 58) & (kShards - 1)]; }
 
   static uint64_t hash(const TranscriptGroup& g) {
@@ -1421,18 +1426,23 @@ int32_t AltPoolRegistry::seg_for(uint64_t h, const TranscriptGroup& g,
   return seg;
 }
 
-void compile_haplotype(const vector<string_view>& csqs, const RefTable& table,
+void compile_haplotype(const vector<HapCsq>& csqs, const RefTable& table,
                        const QcFlags& qc, CompileMemo* memo,
                        AltPoolRegistry* pool, HaplotypeOut* out,
                        vector<string>* warnings, bool collect_stats,
                        vector<TranscriptGroup>* pregrouped = nullptr,
-                       ParseMemo* pmemo = nullptr,
                        GroupPtrMemo* gmemo = nullptr) {
   if (std::getenv("VCF2PROT_NO_MEMO")) memo = nullptr;
+  // lazy mode (pool regime, no stats): group with names only; muts + dedup
+  // materialize per group only on compile-memo misses
+  const bool lazy = gmemo && !collect_stats && !pregrouped;
+  vector<string_view> mat_scratch;
   // the pooling probe already grouped the first haplotypes; reuse (consume)
   // its vectors instead of redoing the parse + conflict dedup
   vector<TranscriptGroup> groups =
-      pregrouped ? std::move(*pregrouped) : group_by_transcript(csqs, pmemo);
+      pregrouped ? std::move(*pregrouped)
+      : lazy ? group_by_transcript_lazy(csqs)
+             : group_by_transcript(csqs);
   if (collect_stats) {
     out->group_names.reserve(groups.size());
     for (auto& g : groups) {
@@ -1470,6 +1480,8 @@ void compile_haplotype(const vector<string_view>& csqs, const RefTable& table,
             break;
           }
     }
+    if (gmemo) (ptr_hit ? gmemo->n_hits : gmemo->n_miss)
+        .fetch_add(1, std::memory_order_relaxed);
     if (ptr_hit) {
       if (memo) {
         // count as a content-memo hit so the adaptive mode's hit-rate
@@ -1498,6 +1510,7 @@ void compile_haplotype(const vector<string_view>& csqs, const RefTable& table,
         if (cached) memo->hits.fetch_add(1, std::memory_order_relaxed);
       }
       if (!cached) {
+        if (lazy) materialize_group(&g, &mat_scratch);
         try {
           prog = std::make_shared<TranscriptProgram>(
               compile_transcript(g.muts, ref_len, qc));
@@ -1540,19 +1553,21 @@ void compile_haplotype(const vector<string_view>& csqs, const RefTable& table,
       size_t base = out->exe.size();
       out->exe.insert(out->exe.end(), prog->exe_v.begin(), prog->exe_v.end());
       out->len.insert(out->len.end(), prog->len_v.begin(), prog->len_v.end());
-      out->src.resize(base + n);
-      out->dst.resize(base + n);
+      // memcpy-insert then offset in place: resize()'s zero-fill of the new
+      // elements was ~8% of the whole compile stage (gprof)
+      out->src.insert(out->src.end(), prog->src_v.begin(),
+                      prog->src_v.end());
+      out->dst.insert(out->dst.end(), prog->dst_v.begin(),
+                      prog->dst_v.end());
       const uint8_t* pe = prog->exe_v.data();
-      const int64_t* ps = prog->src_v.data();
-      const int64_t* pd = prog->dst_v.data();
       int64_t* os = out->src.data() + base;
       int64_t* od = out->dst.data() + base;
       // pool mode: exe==1 sources stay group-relative here (alt_counter is
       // 0); the cohort driver adds the (deterministic, first-use-ordered)
       // pool offsets in a post-pass once every segment's offset is known
       for (size_t k = 0; k < n; ++k)
-        os[k] = ps[k] + (pe[k] == 0 ? ref_off : alt_counter);
-      for (size_t k = 0; k < n; ++k) od[k] = pd[k] + res_counter;
+        os[k] += pe[k] == 0 ? ref_off : alt_counter;
+      for (size_t k = 0; k < n; ++k) od[k] += res_counter;
     }
     out->ann.emplace_back(name_idx, res_counter, res_counter + prog->res_len);
     if (pool) {
@@ -1959,7 +1974,7 @@ size_t apply_sample_subset(const vector<int64_t>& subset, size_t n_samples,
 // `subset` (sorted global sample indices, or null = all) restricts the
 // decode to owned samples: non-owned FORMAT slots are skipped, not decoded.
 size_t decode_bcf(string_view data, vector<string>* probands,
-                  vector<vector<string_view>>* hap_csqs, int n_threads,
+                  vector<vector<HapCsq>>* hap_csqs, int n_threads,
                   const vector<int64_t>* subset = nullptr) {
   BcfCursor top{reinterpret_cast<const uint8_t*>(data.data()),
                 reinterpret_cast<const uint8_t*>(data.data()) + data.size()};
@@ -1999,16 +2014,18 @@ size_t decode_bcf(string_view data, vector<string>* probands,
       std::max<size_t>(1, records.size() / 256), std::max(1u, hw) * 4);
   n_chunks = std::max<size_t>(n_chunks, 1);
   size_t chunk_sz = (records.size() + n_chunks - 1) / n_chunks;
-  vector<vector<vector<string_view>>> chunk_out(
-      n_chunks, vector<vector<string_view>>(2 * n_owned));
+  vector<vector<vector<HapCsq>>> chunk_out(
+      n_chunks, vector<vector<HapCsq>>(2 * n_owned));
   vector<size_t> chunk_counts(n_chunks, 0);
   std::exception_ptr dec_error;
   std::mutex dec_mu;
   std::atomic<size_t> next_chunk{0};
 
   auto decode_one = [&](const BcfRecord& rec,
-                        vector<vector<string_view>>& out,
+                        vector<vector<HapCsq>>& out,
                         vector<string_view>& entries, vector<int>& supported,
+                        vector<string_view>& names,
+                        vector<string_view>& psplit,
                         vector<uint32_t>& words, MaskIndices& mi) -> bool {
     BcfCursor sh{rec.shared, rec.shared + rec.l_shared};
     sh.need(24);
@@ -2115,18 +2132,25 @@ size_t decode_bcf(string_view data, vector<string>* probands,
         if (!entries_split) {
           split_into(csq, ',', &entries);
           supported.assign(entries.size(), 0);
-          for (size_t e = 0; e < entries.size(); ++e)
+          names.assign(entries.size(), string_view());
+          for (size_t e = 0; e < entries.size(); ++e) {
             supported[e] = lookup_type(field_before(entries[e], '|')) >= 0;
+            if (supported[e]) {
+              Mutation pm;
+              if (parse_mutation(entries[e], &pm, &psplit))
+                names[e] = pm.transcript;
+            }
+          }
           entries_split = true;
         }
         for (int e : mi.hap1)
           if ((size_t)e < entries.size() && supported[e])
-            out[2 * (size_t)slot].push_back(entries[e]);
+            out[2 * (size_t)slot].push_back(HapCsq{entries[e], names[e]});
           else if ((size_t)e >= entries.size())
             throw FatalError("bitmask index out of range of BCSQ entries");
         for (int e : mi.hap2)
           if ((size_t)e < entries.size() && supported[e])
-            out[2 * (size_t)slot + 1].push_back(entries[e]);
+            out[2 * (size_t)slot + 1].push_back(HapCsq{entries[e], names[e]});
           else if ((size_t)e >= entries.size())
             throw FatalError("bitmask index out of range of BCSQ entries");
       }
@@ -2138,6 +2162,8 @@ size_t decode_bcf(string_view data, vector<string>* probands,
   auto dec_worker = [&]() {
     vector<string_view> entries;
     vector<int> supported;
+    vector<string_view> names;
+    vector<string_view> psplit;
     vector<uint32_t> words;
     MaskIndices mi;
     while (true) {
@@ -2148,8 +2174,8 @@ size_t decode_bcf(string_view data, vector<string>* probands,
         size_t hi = std::min(records.size(), lo + chunk_sz);
         size_t count = 0;
         for (size_t r = lo; r < hi; ++r)
-          if (decode_one(records[r], chunk_out[c], entries, supported, words,
-                         mi))
+          if (decode_one(records[r], chunk_out[c], entries, supported,
+                         names, psplit, words, mi))
             ++count;
         chunk_counts[c] = count;
       } catch (...) {
@@ -2284,7 +2310,7 @@ CohortResult compile_cohort_impl(string_view vcf_text,
         std::make_tuple(ref_offsets[i], ref_offsets[i + 1] - ref_offsets[i],
                         (int64_t)i));
 
-  vector<vector<string_view>> hap_csqs;
+  vector<vector<HapCsq>> hap_csqs;
   size_t n_samples = 0;
   size_t n_supported = 0;
   if (looks_bcf(vcf_text)) {
@@ -2378,8 +2404,8 @@ CohortResult compile_cohort_impl(string_view vcf_text,
       size_t nl = body.find('\n', r);
       return nl == string_view::npos ? body.size() : nl + 1;
     };
-    vector<vector<vector<string_view>>> chunk_out(
-        n_chunks, vector<vector<string_view>>(2 * n_owned));
+    vector<vector<vector<HapCsq>>> chunk_out(
+        n_chunks, vector<vector<HapCsq>>(2 * n_owned));
     vector<size_t> chunk_counts(n_chunks, 0);
     std::exception_ptr dec_error;
     std::mutex dec_mu;
@@ -2387,6 +2413,8 @@ CohortResult compile_cohort_impl(string_view vcf_text,
     auto decode_chunk = [&](size_t c) {
       vector<string_view> entries;
       vector<int> supported;
+      vector<string_view> names;
+      vector<string_view> psplit;
       vector<CarrierCol> carriers;
       MaskIndices mi;
       auto& out = chunk_out[c];
@@ -2431,18 +2459,29 @@ CohortResult compile_cohort_impl(string_view vcf_text,
           if (!entries_split) {
             split_into(csq, ',', &entries);
             supported.assign(entries.size(), 0);
-            for (size_t e = 0; e < entries.size(); ++e)
+            // resolve each entry's transcript name ONCE PER RECORD (the
+            // full mutation parse); per-carrier pushes are then pure
+            // pointer copies -- see HapCsq
+            names.assign(entries.size(), string_view());
+            for (size_t e = 0; e < entries.size(); ++e) {
               supported[e] = lookup_type(field_before(entries[e], '|')) >= 0;
+              if (supported[e]) {
+                Mutation pm;
+                if (parse_mutation(entries[e], &pm, &psplit))
+                  names[e] = pm.transcript;
+              }
+            }
             entries_split = true;
           }
           for (int e : mi.hap1)
             if ((size_t)e < entries.size() && supported[e])
-              out[2 * (size_t)slot].push_back(entries[e]);
+              out[2 * (size_t)slot].push_back(HapCsq{entries[e], names[e]});
             else if ((size_t)e >= entries.size())
               throw FatalError("bitmask index out of range of BCSQ entries");
           for (int e : mi.hap2)
             if ((size_t)e < entries.size() && supported[e])
-              out[2 * (size_t)slot + 1].push_back(entries[e]);
+              out[2 * (size_t)slot + 1].push_back(
+                  HapCsq{entries[e], names[e]});
             else if ((size_t)e >= entries.size())
               throw FatalError("bitmask index out of range of BCSQ entries");
         }
@@ -2574,8 +2613,6 @@ CohortResult compile_cohort_impl(string_view vcf_text,
   AltPoolRegistry* pool = use_pool ? &pool_registry : nullptr;
   // the csq-level parse memo pays only where csq strings repeat across
   // carriers -- exactly the shared-bundle regime the pool probe detected
-  ParseMemo parse_memo;
-  ParseMemo* pmemo = use_pool ? &parse_memo : nullptr;
   GroupPtrMemo group_ptr_memo;
   GroupPtrMemo* gmemo = use_pool ? &group_ptr_memo : nullptr;
   vector<vector<string>> warn_parts(n_haps);
@@ -2593,7 +2630,7 @@ CohortResult compile_cohort_impl(string_view vcf_text,
                           &result.haps[i], &warn_parts[i], collect_stats,
                           i < probe_groups.size() ? &probe_groups[i]
                                                   : nullptr,
-                          pmemo, gmemo);
+                          gmemo);
       } catch (...) {
         std::lock_guard<std::mutex> lock(err_mu);
         if (!first_error) first_error = std::current_exception();
@@ -2611,6 +2648,10 @@ CohortResult compile_cohort_impl(string_view vcf_text,
   }
   if (first_error) std::rethrow_exception(first_error);
   lap("haplotype compile");
+  if (gmemo && std::getenv("VCF2PROT_NATIVE_TIMING"))
+    fprintf(stderr, "[native] group ptr-memo: %llu hits / %llu misses\n",
+            (unsigned long long)gmemo->n_hits.load(),
+            (unsigned long long)gmemo->n_miss.load());
   if (use_pool) {
     // Deterministic pool layout: registry segment ids are thread-ordered,
     // so re-assign offsets by FIRST USE in cohort scan order (haplotypes in
