@@ -83,3 +83,17 @@ def test_sharded_pooled_cohort_shared_alt(tmp_path):
     outs = ShardedEngine(blob, make_mesh(4)).execute(progs)
     for prog, out in zip(progs, outs):
         np.testing.assert_array_equal(execute_tasks(prog, blob), out)
+
+
+def test_sharded_aligned_and_delta_paths_agree(monkeypatch):
+    """The sharded executor's word-aligned production kernel and the
+    per-byte delta fallback must both equal the oracle (the default-path
+    tests above already run aligned; this pins the fallback too)."""
+    blob, programs = build_programs(5)
+    aligned = ShardedEngine(blob, make_mesh(4)).execute(programs)
+    monkeypatch.setenv("VCF2PROT_ALIGNED_EXEC", "0")
+    delta = ShardedEngine(blob, make_mesh(4)).execute(programs)
+    for prog, a, d in zip(programs, aligned, delta):
+        oracle = execute_tasks(prog, blob)
+        np.testing.assert_array_equal(oracle, a)
+        np.testing.assert_array_equal(oracle, d)

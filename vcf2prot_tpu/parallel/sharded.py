@@ -25,12 +25,17 @@ from ..runtime.pack import pack_cohort, pad_to_bucket
 _FN_CACHE = {}
 
 
-def _sharded_runner(mesh, out_bucket: int, shared_alt: bool):
+def _sharded_runner(mesh, out_bucket: int, shared_alt: bool,
+                    aligned: bool = False):
     """Build (and cache) the shard_map'd executor for one output bucket.
 
     ``shared_alt``: the cohort alt tape is a run-wide shared pool --
     replicated like the proteome blob (every chip reads it with local
-    gathers) instead of carrying a per-shard alt tape.
+    gathers) instead of carrying a per-shard alt tape. ``aligned`` runs the
+    production word-aligned kernel (runtime/tpu_engine.aligned_execute_body,
+    1.34x the per-byte delta kernel on the real chip) over per-shard
+    word programs; False keeps the per-byte delta formulation (int64 packs,
+    tiny tapes, env opt-out).
     """
     import jax
     import jax.numpy as jnp
@@ -40,36 +45,54 @@ def _sharded_runner(mesh, out_bucket: int, shared_alt: bool):
     from ..utils.jaxcache import enable_persistent_cache
 
     enable_persistent_cache()
-    key = (tuple(d.id for d in mesh.devices.flat), out_bucket, shared_alt)
+    key = (tuple(d.id for d in mesh.devices.flat), out_bucket, shared_alt,
+           aligned)
     if key in _FN_CACHE:
         return _FN_CACHE[key]
 
-    def per_shard(blob, alt, dst, srcb):
-        # sharded operands keep a leading dp axis of size 1 inside the shard
-        combined = jnp.concatenate([blob, alt if shared_alt else alt[0]])
-        # covering-task expansion by delta-scatter + cumsum (see
-        # runtime/tpu_engine.py: ~25x cheaper than per-byte searchsorted on
-        # real TPU hardware); padding tasks carry dst = iinfo.max -> dropped
-        v = srcb[0] - dst[0]
-        delta = v - jnp.concatenate([jnp.zeros(1, v.dtype), v[:-1]])
-        acc = jnp.zeros(out_bucket, v.dtype).at[dst[0]].add(
-            delta, mode="drop"
-        )
-        j = jnp.arange(out_bucket, dtype=v.dtype)
-        gidx = jnp.clip(jnp.cumsum(acc) + j, 0, combined.shape[0] - 1)
-        return jnp.take(combined, gidx)[None, :]
+    if aligned:
+        from ..runtime.tpu_engine import aligned_execute_body
 
-    fn = shard_map(
-        per_shard,
-        mesh=mesh,
-        in_specs=(
+        def per_shard(blob, alt, wstart, wbase, bpos, bsrc):
+            combined = jnp.concatenate(
+                [blob, alt if shared_alt else alt[0]]
+            )
+            return aligned_execute_body(
+                combined, wstart[0], wbase[0], bpos[0], bsrc[0], out_bucket
+            )[None, :]
+
+        in_specs = (
+            P(),
+            P() if shared_alt else P("dp", None),
+            P("dp", None), P("dp", None), P("dp", None), P("dp", None),
+        )
+    else:
+        def per_shard(blob, alt, dst, srcb):
+            # sharded operands keep a leading dp axis of size 1 in-shard
+            combined = jnp.concatenate(
+                [blob, alt if shared_alt else alt[0]]
+            )
+            # covering-task expansion by delta-scatter + cumsum (see
+            # runtime/tpu_engine.py); padding tasks carry dst = iinfo.max
+            # -> dropped
+            v = srcb[0] - dst[0]
+            delta = v - jnp.concatenate([jnp.zeros(1, v.dtype), v[:-1]])
+            acc = jnp.zeros(out_bucket, v.dtype).at[dst[0]].add(
+                delta, mode="drop"
+            )
+            j = jnp.arange(out_bucket, dtype=v.dtype)
+            gidx = jnp.clip(jnp.cumsum(acc) + j, 0, combined.shape[0] - 1)
+            return jnp.take(combined, gidx)[None, :]
+
+        in_specs = (
             P(),
             P() if shared_alt else P("dp", None),
             P("dp", None),
             P("dp", None),
-        ),
-        out_specs=P("dp", None),
-    )
+        )
+
+    fn = shard_map(per_shard, mesh=mesh, in_specs=in_specs,
+                   out_specs=P("dp", None))
     jitted = jax.jit(fn)
     _FN_CACHE[key] = jitted
     return jitted
@@ -140,21 +163,60 @@ class ShardedEngine:
             and all(p.alt_key == packed[0].alt_key for p in packed)
         )
         D = n_shards
-        dst = np.full((D, task_bucket), np.iinfo(idx_dtype).max, dtype=idx_dtype)
-        srcb = np.zeros((D, task_bucket), dtype=idx_dtype)
         if shared_alt:
             # run-wide alt pool: one replicated copy, like the proteome blob
             alt = packed[0].alt
+            alt_len = len(alt)
         else:
             alt_bucket = pad_to_bucket(max(max((len(p.alt) for p in packed)), 1))
             alt = np.zeros((D, alt_bucket), dtype=np.uint8)
-        for d, p in enumerate(packed):
-            dst[d, : len(p.dst)] = p.dst
-            srcb[d, : len(p.src_biased)] = p.src_biased
-            if not shared_alt:
+            for d, p in enumerate(packed):
                 alt[d, : len(p.alt)] = p.alt
-        run = _sharded_runner(self.mesh, out_bucket, shared_alt)
-        out = np.asarray(run(jnp.asarray(self.blob.data), alt, dst, srcb))
+            alt_len = alt_bucket
+        import os
+
+        use_aligned = (
+            os.environ.get("VCF2PROT_ALIGNED_EXEC", "1") != "0"
+            and idx_dtype == np.int32
+            and out_bucket >= 1024
+        )
+        if use_aligned:
+            from ..runtime.tpu_engine import (
+                build_aligned_program,
+                pad_aligned_program,
+            )
+
+            combined_len = len(self.blob.data) + alt_len
+            progs_a = [
+                build_aligned_program(p.dst, p.src_biased, p.total_res,
+                                      combined_len)
+                for p in packed
+            ]
+            b_bucket = pad_to_bucket(
+                max(max((len(bp) for _w, _b, bp, _s in progs_a)), 1)
+            )
+            ws = np.empty((D, task_bucket), np.int32)
+            wb = np.empty((D, task_bucket), np.int32)
+            bp = np.empty((D, b_bucket), np.int32)
+            bs = np.empty((D, b_bucket), np.int32)
+            for d, pa in enumerate(progs_a):
+                ws[d], wb[d], bp[d], bs[d] = pad_aligned_program(
+                    *pa, task_bucket, out_bucket, b_bucket
+                )
+            run = _sharded_runner(self.mesh, out_bucket, shared_alt,
+                                  aligned=True)
+            out = np.asarray(
+                run(jnp.asarray(self.blob.data), alt, ws, wb, bp, bs)
+            )
+        else:
+            dst = np.full((D, task_bucket), np.iinfo(idx_dtype).max,
+                          dtype=idx_dtype)
+            srcb = np.zeros((D, task_bucket), dtype=idx_dtype)
+            for d, p in enumerate(packed):
+                dst[d, : len(p.dst)] = p.dst
+                srcb[d, : len(p.src_biased)] = p.src_biased
+            run = _sharded_runner(self.mesh, out_bucket, shared_alt)
+            out = np.asarray(run(jnp.asarray(self.blob.data), alt, dst, srcb))
         results = [None] * len(programs)
         for i, tape in oracle_results.items():
             results[i] = tape

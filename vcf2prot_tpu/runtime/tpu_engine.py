@@ -96,45 +96,70 @@ def build_aligned_program(dst, src_biased, total_res: int,
     return (w_first.astype(np.int32), (s - d).astype(np.int32), bpos, bsrc)
 
 
+def aligned_execute_body(combined, wstart, wbase, bpos, bsrc,
+                         out_size: int):
+    """Pure-jax body of the word-aligned executor; shared by the
+    single-device jit (:func:`_get_aligned_jitted`) and the dp-sharded
+    per-shard program (parallel/sharded.py). Padding conventions:
+    ``wstart`` pads to iinfo.max (dropped scatter), ``bpos`` pads past the
+    output (dropped set), ``bsrc`` is clipped here."""
+    import jax
+    import jax.numpy as jnp
+
+    n_words = out_size // 4
+    cw = jax.lax.bitcast_convert_type(
+        combined[: (combined.shape[0] // 4) * 4].reshape(-1, 4),
+        jnp.uint32,
+    ).reshape(-1)
+    delta = wbase - jnp.concatenate(
+        [jnp.zeros(1, wbase.dtype), wbase[:-1]]
+    )
+    acc = jnp.zeros(n_words, wbase.dtype).at[wstart].add(
+        delta, mode="drop"
+    )
+    base_w = jnp.cumsum(acc)
+    jw = jnp.arange(n_words, dtype=jnp.int32) * 4
+    g = jnp.clip(base_w + jw, 0, combined.shape[0] - 8)
+    gi = g >> 2
+    w0 = cw[gi]
+    w1 = cw[gi + 1]
+    sh = ((g & 3) * 8).astype(jnp.uint32)
+    words = jnp.where(sh == 0, w0, (w0 >> sh) | (w1 << (32 - sh)))
+    out = jax.lax.bitcast_convert_type(
+        words[:, None], jnp.uint8
+    ).reshape(-1)
+    bvals = jnp.take(combined, jnp.clip(bsrc, 0, combined.shape[0] - 1))
+    return out.at[bpos].set(bvals, mode="drop")
+
+
+def pad_aligned_program(wstart, wbase, bpos, bsrc, task_bucket: int,
+                        out_bucket: int, b_bucket: int):
+    """Bucket-pad one aligned program per the body's padding conventions."""
+    ws = np.full(task_bucket, np.iinfo(np.int32).max, np.int32)
+    ws[: len(wstart)] = wstart
+    wb = np.zeros(task_bucket, np.int32)
+    wb[: len(wbase)] = wbase
+    bp = np.full(b_bucket, out_bucket + 8, np.int32)  # dropped
+    bp[: len(bpos)] = bpos
+    bs = np.zeros(b_bucket, np.int32)
+    bs[: len(bsrc)] = bsrc
+    return ws, wb, bp, bs
+
+
 def _get_aligned_jitted():
     """Jitted word-aligned executor factory (see build_aligned_program);
     jit specializes on the padded (task, boundary) argument shapes."""
     import jax
-    import jax.numpy as jnp
 
     if "aligned" in _EXECUTE_CACHE:
         return _EXECUTE_CACHE["aligned"]
 
     def build(out_size: int):
-        n_words = out_size // 4
-
         @jax.jit
         def run(combined, wstart, wbase, bpos, bsrc):
-            cw = jax.lax.bitcast_convert_type(
-                combined[: (combined.shape[0] // 4) * 4].reshape(-1, 4),
-                jnp.uint32,
-            ).reshape(-1)
-            delta = wbase - jnp.concatenate(
-                [jnp.zeros(1, wbase.dtype), wbase[:-1]]
+            return aligned_execute_body(
+                combined, wstart, wbase, bpos, bsrc, out_size
             )
-            acc = jnp.zeros(n_words, wbase.dtype).at[wstart].add(
-                delta, mode="drop"
-            )
-            base_w = jnp.cumsum(acc)
-            jw = jnp.arange(n_words, dtype=jnp.int32) * 4
-            g = jnp.clip(base_w + jw, 0, combined.shape[0] - 8)
-            gi = g >> 2
-            w0 = cw[gi]
-            w1 = cw[gi + 1]
-            sh = ((g & 3) * 8).astype(jnp.uint32)
-            words = jnp.where(
-                sh == 0, w0, (w0 >> sh) | (w1 << (32 - sh))
-            )
-            out = jax.lax.bitcast_convert_type(
-                words[:, None], jnp.uint8
-            ).reshape(-1)
-            bvals = jnp.take(combined, jnp.clip(bsrc, 0, combined.shape[0] - 1))
-            return out.at[bpos].set(bvals, mode="drop")
 
         return run
 
@@ -308,15 +333,10 @@ class TpuEngine:
                 packed.dst, packed.src_biased, packed.total_res,
                 int(combined.shape[0]),
             )
-            ws = np.full(task_bucket, np.iinfo(np.int32).max, np.int32)
-            ws[:n_tasks] = wstart
-            wb = np.zeros(task_bucket, np.int32)
-            wb[:n_tasks] = wbase
-            b_bucket = pad_to_bucket(max(len(bpos), 1))
-            bp = np.full(b_bucket, out_bucket + 8, np.int32)  # dropped
-            bp[: len(bpos)] = bpos
-            bs = np.zeros(b_bucket, np.int32)
-            bs[: len(bsrc)] = bsrc
+            ws, wb, bp, bs = pad_aligned_program(
+                wstart, wbase, bpos, bsrc, task_bucket, out_bucket,
+                pad_to_bucket(max(len(bpos), 1)),
+            )
             key = ("aligned", out_bucket)
             if key not in self._run_cache:
                 self._run_cache[key] = _get_aligned_jitted()(out_bucket)
