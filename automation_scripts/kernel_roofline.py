@@ -166,47 +166,25 @@ def main():
     word_nofix = jax.jit(lambda c, d, sb: word_impl(c, d, sb, False))
 
     def build_aligned(wbytes: int):
-        """Host-side 'compiler pass': split the task program at word
-        boundaries (the compiler owns boundaries -- reference analogue:
-        the per-task copy_from_slice at task.rs:38-50 is word-copy via
-        memcpy). Emits (middle-word program, boundary byte list)."""
-        ends_np = np.append(dst_np[1:], total).astype(np.int64)
-        d64 = dst_np.astype(np.int64)
-        s64 = src_np.astype(np.int64)
-        # first word fully covered by each task, and one-past-last
-        w_first = (d64 + wbytes - 1) // wbytes
-        w_last = ends_np // wbytes  # exclusive
+        """Host-side 'compiler pass': the PRODUCTION
+        runtime/tpu_engine.build_aligned_program (word-uniform middles +
+        boundary byte list incl. the near-tape-end demotion guard), padded
+        to the shoot-out's buckets -- the script measures exactly what
+        ships (reference analogue: the per-task copy_from_slice at
+        task.rs:38-50 is word-copy via memcpy)."""
+        from vcf2prot_tpu.runtime.tpu_engine import (
+            build_aligned_program,
+            pad_aligned_program,
+        )
+
+        wstart, wbase, bpos, bsrc = build_aligned_program(
+            dst_np, src_np, total, len(combined_np), wbytes=wbytes
+        )
         n_words = out_bucket // wbytes
-        # per-word byte base (src - dst), valid for each task's middle run;
-        # scatter at w_first (monotone: dst is sorted). Tasks with no
-        # middle words telescope away (coincident starts, last wins).
-        wstart = np.minimum(w_first, n_words).astype(np.int32)
-        wbase = (s64 - d64).astype(np.int32)
-        # boundary words: not fully covered by a single task
-        uniform = np.zeros(n_words, dtype=bool)
-        cover = np.zeros(n_words + 1, np.int32)
-        ok = w_last > w_first
-        np.add.at(cover, w_first[ok].astype(np.int64), 1)
-        np.add.at(cover, w_last[ok].astype(np.int64), -1)
-        uniform = np.cumsum(cover[:-1]) > 0
-        bwords = np.nonzero(~uniform[: (total + wbytes - 1) // wbytes])[0]
-        bpos = (bwords[:, None] * wbytes
-                + np.arange(wbytes)[None, :]).reshape(-1)
-        bpos = bpos[bpos < total]
-        # source index of each boundary byte: task covering it (host
-        # searchsorted -- this is compile-time, not kernel work)
-        t = np.searchsorted(d64, bpos, side="right") - 1
-        bsrc = (s64[t] + bpos - d64[t]).astype(np.int32)
         bb = 1 << max(int(len(bpos) - 1).bit_length(), 4)
-        bpos_p = np.full(bb, out_bucket + 8, np.int32)  # dropped
-        bpos_p[: len(bpos)] = bpos
-        bsrc_p = np.zeros(bb, np.int32)
-        bsrc_p[: len(bpos)] = bsrc
-        # pad the word program into the task bucket
-        wstart_p = np.full(task_bucket, np.iinfo(np.int32).max, np.int32)
-        wstart_p[:n_tasks] = wstart
-        wbase_p = np.zeros(task_bucket, np.int32)
-        wbase_p[:n_tasks] = wbase
+        wstart_p, wbase_p, bpos_p, bsrc_p = pad_aligned_program(
+            wstart, wbase, bpos, bsrc, task_bucket, out_bucket, bb
+        )
         log(f"aligned{wbytes * 8}: {len(bpos)} boundary bytes "
             f"({len(bpos) / total * 100:.1f}% of output), "
             f"{n_words} middle-word lanes")

@@ -445,12 +445,15 @@ bool parse_mutation(string_view csq, Mutation* m,
 // cohort repeats the same entry across thousands of carrier haplotypes, and
 // per-carrier name resolution (even memoized) measurably dominated the
 // compile stage (gprof: ~24% in the per-csq memo's hashtable find alone).
-// ``name`` is empty when the entry fails the full mutation parse (wrong
+// ``ok`` is false when the entry fails the full mutation parse (wrong
 // biotype / malformed AA field) -- grouping skips those, exactly like the
-// old per-carrier parse failure path.
+// old per-carrier parse failure path. ``ok`` is a separate flag because an
+// EMPTY transcript name is a legal parse outcome (groups under "", same as
+// the Python oracle) and must not read as a failure.
 struct HapCsq {
   string_view csq;
   string_view name;
+  bool ok;
 };
 
 // ------------------------------------------------------- instruction ISA ---
@@ -1074,8 +1077,8 @@ vector<TranscriptGroup> group_assemble(const vector<HapCsq>& csqs,
   bool multi_len = false;
   size_t first_len = SIZE_MAX;
   for (size_t i = 0; i < csqs.size(); ++i) {
+    if (!csqs[i].ok) continue;  // failed the decode-time mutation parse
     string_view name = csqs[i].name;
-    if (name.empty()) continue;  // failed the decode-time mutation parse
     auto [it, inserted] = index_of.emplace(name, groups.size());
     if (inserted) {
       groups.emplace_back();
@@ -1432,7 +1435,10 @@ void compile_haplotype(const vector<HapCsq>& csqs, const RefTable& table,
                        vector<string>* warnings, bool collect_stats,
                        vector<TranscriptGroup>* pregrouped = nullptr,
                        GroupPtrMemo* gmemo = nullptr) {
-  if (std::getenv("VCF2PROT_NO_MEMO")) memo = nullptr;
+  if (std::getenv("VCF2PROT_NO_MEMO")) {
+    memo = nullptr;
+    gmemo = nullptr;  // keep the no-memo knob truly unmemoized
+  }
   // lazy mode (pool regime, no stats): group with names only; muts + dedup
   // materialize per group only on compile-memo misses
   const bool lazy = gmemo && !collect_stats && !pregrouped;
@@ -2025,6 +2031,7 @@ size_t decode_bcf(string_view data, vector<string>* probands,
                         vector<vector<HapCsq>>& out,
                         vector<string_view>& entries, vector<int>& supported,
                         vector<string_view>& names,
+                        vector<uint8_t>& ok_flags,
                         vector<string_view>& psplit,
                         vector<uint32_t>& words, MaskIndices& mi) -> bool {
     BcfCursor sh{rec.shared, rec.shared + rec.l_shared};
@@ -2133,24 +2140,29 @@ size_t decode_bcf(string_view data, vector<string>* probands,
           split_into(csq, ',', &entries);
           supported.assign(entries.size(), 0);
           names.assign(entries.size(), string_view());
+          ok_flags.assign(entries.size(), 0);
           for (size_t e = 0; e < entries.size(); ++e) {
             supported[e] = lookup_type(field_before(entries[e], '|')) >= 0;
             if (supported[e]) {
               Mutation pm;
-              if (parse_mutation(entries[e], &pm, &psplit))
+              if (parse_mutation(entries[e], &pm, &psplit)) {
                 names[e] = pm.transcript;
+                ok_flags[e] = 1;
+              }
             }
           }
           entries_split = true;
         }
         for (int e : mi.hap1)
           if ((size_t)e < entries.size() && supported[e])
-            out[2 * (size_t)slot].push_back(HapCsq{entries[e], names[e]});
+            out[2 * (size_t)slot].push_back(
+                  HapCsq{entries[e], names[e], ok_flags[e] != 0});
           else if ((size_t)e >= entries.size())
             throw FatalError("bitmask index out of range of BCSQ entries");
         for (int e : mi.hap2)
           if ((size_t)e < entries.size() && supported[e])
-            out[2 * (size_t)slot + 1].push_back(HapCsq{entries[e], names[e]});
+            out[2 * (size_t)slot + 1].push_back(
+                HapCsq{entries[e], names[e], ok_flags[e] != 0});
           else if ((size_t)e >= entries.size())
             throw FatalError("bitmask index out of range of BCSQ entries");
       }
@@ -2163,6 +2175,7 @@ size_t decode_bcf(string_view data, vector<string>* probands,
     vector<string_view> entries;
     vector<int> supported;
     vector<string_view> names;
+    vector<uint8_t> ok_flags;
     vector<string_view> psplit;
     vector<uint32_t> words;
     MaskIndices mi;
@@ -2175,7 +2188,7 @@ size_t decode_bcf(string_view data, vector<string>* probands,
         size_t count = 0;
         for (size_t r = lo; r < hi; ++r)
           if (decode_one(records[r], chunk_out[c], entries, supported,
-                         names, psplit, words, mi))
+                         names, ok_flags, psplit, words, mi))
             ++count;
         chunk_counts[c] = count;
       } catch (...) {
@@ -2414,6 +2427,7 @@ CohortResult compile_cohort_impl(string_view vcf_text,
       vector<string_view> entries;
       vector<int> supported;
       vector<string_view> names;
+      vector<uint8_t> ok_flags;
       vector<string_view> psplit;
       vector<CarrierCol> carriers;
       MaskIndices mi;
@@ -2463,25 +2477,29 @@ CohortResult compile_cohort_impl(string_view vcf_text,
             // full mutation parse); per-carrier pushes are then pure
             // pointer copies -- see HapCsq
             names.assign(entries.size(), string_view());
+            ok_flags.assign(entries.size(), 0);
             for (size_t e = 0; e < entries.size(); ++e) {
               supported[e] = lookup_type(field_before(entries[e], '|')) >= 0;
               if (supported[e]) {
                 Mutation pm;
-                if (parse_mutation(entries[e], &pm, &psplit))
+                if (parse_mutation(entries[e], &pm, &psplit)) {
                   names[e] = pm.transcript;
+                  ok_flags[e] = 1;
+                }
               }
             }
             entries_split = true;
           }
           for (int e : mi.hap1)
             if ((size_t)e < entries.size() && supported[e])
-              out[2 * (size_t)slot].push_back(HapCsq{entries[e], names[e]});
+              out[2 * (size_t)slot].push_back(
+                  HapCsq{entries[e], names[e], ok_flags[e] != 0});
             else if ((size_t)e >= entries.size())
               throw FatalError("bitmask index out of range of BCSQ entries");
           for (int e : mi.hap2)
             if ((size_t)e < entries.size() && supported[e])
               out[2 * (size_t)slot + 1].push_back(
-                  HapCsq{entries[e], names[e]});
+                  HapCsq{entries[e], names[e], ok_flags[e] != 0});
             else if ((size_t)e >= entries.size())
               throw FatalError("bitmask index out of range of BCSQ entries");
         }

@@ -219,3 +219,48 @@ def test_shared_cohort_memo_matches_python_and_no_memo(tmp_path, monkeypatch):
             np.testing.assert_array_equal(a.length, b.length)
             np.testing.assert_array_equal(a.dst, b.dst)
             assert a.alt == b.alt, f"{tag} hap {i}: alt tape"
+
+
+def test_empty_transcript_name_matches_python(tmp_path):
+    """A parseable BCSQ entry whose transcript field is EMPTY must behave
+    identically in both tiers: it groups under "" (not silently dropped),
+    warns 'not in the reference', and is skipped — the round-4 decode-time
+    name resolution must not conflate empty-name with parse-failure."""
+    vcf = tmp_path / "empty_name.vcf"
+    vcf.write_text(
+        "##fileformat=VCFv4.2\n"
+        '##INFO=<ID=BCSQ,Number=.,Type=String,Description="csq">\n'
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS0\n"
+        # entry 0: empty transcript name; entry 1: real transcript T0
+        "1\t1000\t.\tA\tC\t.\t.\t"
+        "BCSQ=missense|G||protein_coding|+|2K>2T|x,"
+        "missense|G|T0|protein_coding|+|2K>2T|x\tGT:BCSQ\t1|0:5\n"
+    )
+    ref = {"T0": "MKLMNPQRST"}
+    blob = RefBlob.from_ref_seqs(ref)
+    int_maps = parse_vcf_to_int_maps(str(vcf))
+    py_programs = []
+    py_warnings = []
+    import io
+    from contextlib import redirect_stderr
+
+    cache = {}
+    buf = io.StringIO()
+    with redirect_stderr(buf):
+        for m in int_maps:
+            pp = compile_proband(m, ref, blob, QC, cache)
+            py_programs.extend([pp.hap1, pp.hap2])
+    nat = compile_cohort_native(str(vcf), ref, blob, QC)
+    assert nat is not None
+    _probands, nat_programs, warnings = nat
+    # the empty-named group must surface as a skip warning in BOTH tiers
+    assert any("not in the reference" in w for w in warnings), warnings
+    assert "not in the reference" in buf.getvalue()
+    for a, b in zip(py_programs, nat_programs):
+        assert a.res_len == b.res_len
+        assert list(a.annotations) == list(b.annotations)
+        np.testing.assert_array_equal(a.exe, b.exe)
+        np.testing.assert_array_equal(a.src, b.src)
+        np.testing.assert_array_equal(
+            execute_tasks(a, blob), execute_tasks(b, blob)
+        )

@@ -327,6 +327,8 @@ class ChunkHandle(NamedTuple):
     hap1_lens: object       # per-sample haplotype-1 tape length
     packed: object          # [.., S, top, 8+k] u8 packed rows (device, async;
     #                         one buffer = ONE fetch round trip, _pack_rows)
+    decode: object = None   # sharded engines only: per-shard lists of
+    #                         (pair_idx, seg_start, hap1_len) decode tuples
 
 
 class DeviceNeoantigenEngine:

@@ -239,7 +239,8 @@ class ShardedNeoantigenEngine:
             ]
             for d, pair_idxs in enumerate(pair_shards)
         ]
-        return ChunkHandle("device", n_pairs, decode, None, rows_packed)
+        return ChunkHandle("device", n_pairs, None, None, rows_packed,
+                           decode=decode)
 
     def collect(self, handle: ChunkHandle):
         """Blocking fetch + row decode; None for a ``"host"`` handle."""
@@ -252,7 +253,7 @@ class ShardedNeoantigenEngine:
         # ONE [D, S, top, 8+k] fetch for the whole mesh
         vals, gpos, wins = _unpack_rows(np.asarray(handle.packed))
         out = {}
-        for d, shard_decode in enumerate(handle.sample_starts):
+        for d, shard_decode in enumerate(handle.decode):
             for local_i, (pair_idx, seg_start, hap1_len) in enumerate(
                 shard_decode
             ):

@@ -60,7 +60,7 @@ _EXECUTE_CACHE = {}
 
 
 def build_aligned_program(dst, src_biased, total_res: int,
-                          combined_len: int):
+                          combined_len: int, wbytes: int = 4):
     """Host-side compile pass for the word-aligned executor.
 
     Splits the contiguous task stream into (a) word-uniform MIDDLE words --
@@ -73,23 +73,25 @@ def build_aligned_program(dst, src_biased, total_res: int,
     two-word loads never read garbage that survives into output.
 
     Returns ``(wstart i32[n], wbase i32[n], bpos i64[b], bsrc i64[b])``
-    (unpadded; the caller buckets them).
+    (unpadded; the caller buckets them). ``wbytes`` is the word width
+    (production uses 4; the kernel-roofline shoot-out also measures 8).
     """
     d = dst.astype(np.int64)
     s = src_biased.astype(np.int64)
     ends = np.append(d[1:], total_res)
     lens = ends - d
-    w_first = (d + 3) >> 2
-    w_last = ends >> 2  # exclusive
-    safe = (s + lens) <= (combined_len - 8)
+    w_first = (d + wbytes - 1) // wbytes
+    w_last = ends // wbytes  # exclusive
+    safe = (s + lens) <= (combined_len - 2 * wbytes)
     has_mid = (w_last > w_first) & safe
-    n_words = (total_res + 3) >> 2
+    n_words = (total_res + wbytes - 1) // wbytes
     cover = np.zeros(n_words + 1, np.int32)
     np.add.at(cover, w_first[has_mid], 1)
     np.add.at(cover, w_last[has_mid], -1)
     uniform = np.cumsum(cover[:-1]) > 0
     bwords = np.nonzero(~uniform)[0]
-    bpos = (bwords[:, None] * 4 + np.arange(4)[None, :]).reshape(-1)
+    bpos = (bwords[:, None] * wbytes
+            + np.arange(wbytes)[None, :]).reshape(-1)
     bpos = bpos[bpos < total_res]
     t = np.searchsorted(d, bpos, side="right") - 1
     bsrc = s[t] + bpos - d[t]
@@ -300,12 +302,6 @@ class TpuEngine:
         idx_dtype = packed.dst.dtype
         task_bucket = pad_to_bucket(n_tasks)
         out_bucket = pad_to_bucket(packed.total_res)
-        # pad task arrays: pad tasks start past the real tape end so
-        # searchsorted never selects them for real output positions
-        dst = np.full(task_bucket, np.iinfo(idx_dtype).max, dtype=idx_dtype)
-        dst[:n_tasks] = packed.dst
-        srcb = np.zeros(task_bucket, dtype=idx_dtype)
-        srcb[:n_tasks] = packed.src_biased
         if packed.alt_key is not None and packed.alt_key == self._combined_key:
             combined = self._combined_dev
         else:
@@ -348,6 +344,12 @@ class TpuEngine:
                 jax.device_put(bp, self.device),
                 jax.device_put(bs, self.device),
             )
+        # per-byte delta fallback: pad task arrays (pad tasks start past the
+        # real tape end so the covering expansion never selects them)
+        dst = np.full(task_bucket, np.iinfo(idx_dtype).max, dtype=idx_dtype)
+        dst[:n_tasks] = packed.dst
+        srcb = np.zeros(task_bucket, dtype=idx_dtype)
+        srcb[:n_tasks] = packed.src_biased
         run = self._runner(out_bucket)
         # the device-side slice means the later fetch only pays host-link
         # bandwidth for live bytes, not bucket padding
