@@ -133,6 +133,29 @@ def test_mesh_fit_converges():
     assert trained > 0.95, trained
 
 
+def test_synth_mhc_task_rewards_capacity():
+    """The synthetic MHC benchmark (anchor PWM + anchor-anchor epistasis)
+    must reward model capacity: a bottleneck head stays well below both a
+    production-width head and the noise-free oracle ceiling -- the
+    structure that makes the configurable head worth having."""
+    from vcf2prot_tpu.downstream.synth_mhc import make_task, oracle_auc
+
+    win, labels, truth = make_task(n=12000, seed=1)
+    tr, hold = slice(0, 10000), slice(10000, None)
+    ceiling = oracle_auc(truth[hold], labels[hold])
+    assert ceiling > 0.85
+    small = fit(win[tr], labels[tr], epochs=10, batch_size=2048, seed=0,
+                params=init_params(K, embed_dim=8, hidden=8, seed=0))
+    wide = fit(win[tr], labels[tr], epochs=10, batch_size=2048, seed=0,
+               params=init_params(K, hidden=128, seed=0))
+    auc_small = auc(np.asarray(score_windows(win[hold], small)),
+                    labels[hold])
+    auc_wide = auc(np.asarray(score_windows(win[hold], wide)), labels[hold])
+    assert auc_wide > auc_small + 0.1, (auc_small, auc_wide)
+    assert auc_wide > 0.8
+    assert auc_wide <= ceiling + 0.02
+
+
 def test_trained_params_flow_through_report(tmp_path):
     """--neoantigen_params end to end: a trained head changes the ranking
     the report writes, and identically across the host and device paths."""
