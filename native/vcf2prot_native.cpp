@@ -2988,6 +2988,100 @@ PyObject* py_execute_tasks(PyObject*, PyObject* args) {
   return out;
 }
 
+// Neoantigen candidate collection for one executed haplotype: all k-mer
+// windows that (a) lie entirely inside one annotation span and (b) overlap
+// at least one mutated byte (alt-sourced, non-'.' filler). Exact port of
+// the numpy oracle (downstream/report._host_candidates /
+// downstream/peptides.py); the cohort accumulator uses this as its fast
+// path and tests pin array equality. Returns (windows_bytes, starts_i64).
+PyObject* py_collect_candidates(PyObject*, PyObject* args) {
+  Py_buffer exe_b, src_b, len_b, dst_b, alt_b, ann_s_b, ann_e_b, tape_b;
+  long long res_len, kk;
+  if (!PyArg_ParseTuple(args, "y*y*y*y*y*y*y*y*LL", &exe_b, &src_b, &len_b,
+                        &dst_b, &alt_b, &ann_s_b, &ann_e_b, &tape_b,
+                        &res_len, &kk))
+    return nullptr;
+  string win_out;
+  vector<int64_t> starts_out;
+  bool ok = true;
+  Py_BEGIN_ALLOW_THREADS {
+    const uint8_t* exe = static_cast<const uint8_t*>(exe_b.buf);
+    const int64_t* tsrc = static_cast<const int64_t*>(src_b.buf);
+    const int64_t* tlen = static_cast<const int64_t*>(len_b.buf);
+    const int64_t* tdst = static_cast<const int64_t*>(dst_b.buf);
+    const char* alt = static_cast<const char*>(alt_b.buf);
+    const int64_t* ann_s = static_cast<const int64_t*>(ann_s_b.buf);
+    const int64_t* ann_e = static_cast<const int64_t*>(ann_e_b.buf);
+    const char* tape = static_cast<const char*>(tape_b.buf);
+    const size_t n_tasks = (size_t)exe_b.len;
+    const size_t n_ann = (size_t)(ann_s_b.len / 8);
+    const int64_t k = (int64_t)kk;
+    const int64_t alt_n = (int64_t)alt_b.len;
+    if ((int64_t)tape_b.len < res_len || k <= 0) {
+      ok = false;
+    } else {
+      // mutated-byte prefix sum (alt-sourced, non-'.' bytes)
+      vector<int64_t> cum((size_t)res_len + 1, 0);
+      vector<uint8_t> is_alt((size_t)res_len, 0);
+      for (size_t t = 0; t < n_tasks && ok; ++t) {
+        if (exe[t] != 1 || tlen[t] <= 0) continue;
+        if (tdst[t] < 0 || tdst[t] + tlen[t] > res_len || tsrc[t] < 0 ||
+            tsrc[t] + tlen[t] > alt_n) {
+          ok = false;
+          break;
+        }
+        const char* a = alt + tsrc[t];
+        uint8_t* m = is_alt.data() + tdst[t];
+        for (int64_t o = 0; o < tlen[t]; ++o) m[o] = a[o] != '.';
+      }
+      if (ok) {
+        for (int64_t j = 0; j < res_len; ++j)
+          cum[(size_t)j + 1] = cum[(size_t)j] + is_alt[(size_t)j];
+        // per-span candidate scan: starts in [s, e-k] with >=1 mutated
+        // byte in [j, j+k)
+        for (size_t a = 0; a < n_ann; ++a) {
+          int64_t s = ann_s[a], e = ann_e[a];
+          if (s < 0 || e > res_len || e - s < k) continue;
+          for (int64_t j = s; j + k <= e; ++j) {
+            if (cum[(size_t)(j + k)] - cum[(size_t)j] > 0) {
+              win_out.append(tape + j, (size_t)k);
+              starts_out.push_back(j);
+            }
+          }
+        }
+      }
+    }
+  }
+  Py_END_ALLOW_THREADS;
+  PyBuffer_Release(&exe_b);
+  PyBuffer_Release(&src_b);
+  PyBuffer_Release(&len_b);
+  PyBuffer_Release(&dst_b);
+  PyBuffer_Release(&alt_b);
+  PyBuffer_Release(&ann_s_b);
+  PyBuffer_Release(&ann_e_b);
+  PyBuffer_Release(&tape_b);
+  if (!ok) {
+    PyErr_SetString(PyExc_IndexError,
+                    "collect_candidates: program out of bounds");
+    return nullptr;
+  }
+  PyObject* wins = PyBytes_FromStringAndSize(win_out.data(),
+                                             (Py_ssize_t)win_out.size());
+  PyObject* starts = PyBytes_FromStringAndSize(
+      reinterpret_cast<const char*>(starts_out.data()),
+      (Py_ssize_t)(starts_out.size() * 8));
+  if (!wins || !starts) {
+    Py_XDECREF(wins);
+    Py_XDECREF(starts);
+    return nullptr;
+  }
+  PyObject* tup = PyTuple_Pack(2, wins, starts);
+  Py_DECREF(wins);
+  Py_DECREF(starts);
+  return tup;
+}
+
 // Write one sample's altered-only FASTA: two haplotype tapes + their
 // (header, start, end) annotation lists -> ">name_1\nseq\n" records
 // (reference: personalized_genome.rs:102-115), formatted and written
@@ -3157,6 +3251,8 @@ PyMethodDef methods[] = {
     {"compile_cohort", (PyCFunction)py_compile_cohort,
      METH_VARARGS | METH_KEYWORDS,
      "Parse a bcftools/csq VCF and compile per-haplotype task programs."},
+    {"collect_candidates", py_collect_candidates, METH_VARARGS,
+     "neoantigen candidate windows of one executed haplotype"},
     {"execute_tasks", py_execute_tasks, METH_VARARGS,
      "Execute a haplotype task program into a byte tape."},
     {"write_fasta", py_write_fasta, METH_VARARGS,

@@ -241,3 +241,46 @@ def test_cli_neoantigen_device_end_to_end(tmp_path):
     assert len(pep) == 9 and hap in ("1", "2") and name in ref
     assert int(rel) >= 0
     float(score)
+
+
+def test_native_candidate_collection_matches_numpy_oracle():
+    """The C++ single-pass candidate collector must equal the numpy oracle
+    array-for-array on native-compiled cohorts (windows AND start order)."""
+    import pytest
+
+    from genvcf import random_cohort as _rc
+    from vcf2prot_tpu.compiler.qc import QC_OFF
+    from vcf2prot_tpu.downstream.report import _host_candidates
+    from vcf2prot_tpu.frontend.fasta import read_fasta
+    from vcf2prot_tpu.native_bridge import compile_cohort_native, load_native
+
+    native = load_native()
+    if native is None or not hasattr(native, "collect_candidates"):
+        pytest.skip("native module unavailable")
+    import tempfile
+
+    from genvcf import write_fasta, write_synthetic_vcf
+    from vcf2prot_tpu.compiler.haplotype import RefBlob
+
+    for seed in (3, 17):
+        ref, samples = _rc(seed, 5, 10)
+        with tempfile.TemporaryDirectory() as d:
+            vcf = f"{d}/c.vcf"
+            fa = f"{d}/r.fasta"
+            write_synthetic_vcf(vcf, ref, samples)
+            write_fasta(fa, ref)
+            ref_seqs = read_fasta(fa)
+            blob = RefBlob.from_ref_seqs(ref_seqs)
+            _p, progs, _w = compile_cohort_native(vcf, ref_seqs, blob,
+                                                  QC_OFF)
+        total = 0
+        for prog in progs:
+            tape = execute_tasks(prog, blob)
+            w_np, s_np = _host_candidates(prog, np.asarray(tape), 9)
+            w_c, s_c = cohort._collect_candidates_fast(
+                prog, np.asarray(tape), 9
+            )
+            np.testing.assert_array_equal(w_np, w_c)
+            np.testing.assert_array_equal(s_np, s_c)
+            total += w_np.shape[0]
+        assert total > 0

@@ -23,6 +23,40 @@ from .peptides import alt_byte_mask, valid_window_starts
 from .report import _host_candidates, _span_of
 
 
+def _collect_candidates_fast(prog, tape, k: int):
+    """Candidate collection for one haplotype: the C++ single pass when the
+    native module is loaded (array-backed annotations required), else the
+    numpy oracle (report._host_candidates). Tests pin array equality, so
+    either path feeds the batched scorer identically.
+    """
+    from ..native_bridge import load_native
+
+    native = load_native()
+    ann = prog.annotations
+    if (
+        native is not None
+        and hasattr(native, "collect_candidates")
+        and hasattr(ann, "starts")
+        and isinstance(prog.alt, (bytes, bytearray))
+    ):
+        wins, starts = native.collect_candidates(
+            np.ascontiguousarray(prog.exe, np.uint8),
+            np.ascontiguousarray(prog.src, np.int64),
+            np.ascontiguousarray(prog.length, np.int64),
+            np.ascontiguousarray(prog.dst, np.int64),
+            prog.alt,
+            np.ascontiguousarray(ann.starts, np.int64),
+            np.ascontiguousarray(ann.ends, np.int64),
+            np.ascontiguousarray(tape, np.uint8),
+            int(prog.res_len),
+            int(k),
+        )
+        w = np.frombuffer(wins, np.uint8).reshape(-1, k)
+        s = np.frombuffer(starts, np.int64)
+        return w, s
+    return _host_candidates(prog, tape, k)
+
+
 class CohortCandidates:
     """Incremental candidate accumulator.
 
@@ -42,7 +76,7 @@ class CohortCandidates:
         self._lock = threading.Lock()
 
     def add(self, sample_idx: int, hap_no: int, prog, tape):
-        w, s = _host_candidates(prog, np.asarray(tape), self.k)
+        w, s = _collect_candidates_fast(prog, np.asarray(tape), self.k)
         if w.shape[0] == 0:
             return
         with self._lock:
