@@ -85,7 +85,11 @@ def write_neoantigen_report(outdir, proband, haps, tapes, k: int,
     # rows (attribution is the per-row-expensive part)
     per_hap = []
     for hap_idx, (prog, tape) in enumerate(zip(haps, tapes), start=1):
-        win_np, starts_np = _host_candidates(prog, np.asarray(tape), k)
+        from .cohort import _collect_candidates_fast
+
+        win_np, starts_np = _collect_candidates_fast(
+            prog, np.asarray(tape), k
+        )
         if win_np.shape[0] == 0:
             continue
         scores = _host_scores(win_np, params)
