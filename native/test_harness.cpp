@@ -59,6 +59,21 @@ static int run_cohort(const char* vcf, const char* fasta) {
     tasks += h.exe.size();
     res += (size_t)h.res_len;
   }
+  // forced pool mode exercises the lazy-grouping + parse/pointer-memo
+  // paths (round 4) under the sanitizers regardless of cohort sharing;
+  // both modes must agree on total task/result sizes
+  CohortResult rp =
+      compile_cohort_impl(vcf_text, names, offsets, qc, 2, false, 1);
+  size_t tasks_p = 0, res_p = 0;
+  for (auto& h : rp.haps) {
+    tasks_p += h.exe.size();
+    res_p += (size_t)h.res_len;
+  }
+  if (tasks_p != tasks || res_p != res) {
+    fprintf(stderr, "pool-mode size mismatch: %zu/%zu vs %zu/%zu\n",
+            tasks_p, res_p, tasks, res);
+    return 1;
+  }
   printf("cohort ok: %zu samples, %zu tasks, %zu result bytes, %zu warnings\n",
          r.probands.size(), tasks, res, r.warnings.size());
   return 0;
