@@ -2629,8 +2629,8 @@ CohortResult compile_cohort_impl(string_view vcf_text,
   if (probe_declined) memo.mode.store(CompileMemo::kSampling);
   AltPoolRegistry pool_registry;
   AltPoolRegistry* pool = use_pool ? &pool_registry : nullptr;
-  // the csq-level parse memo pays only where csq strings repeat across
-  // carriers -- exactly the shared-bundle regime the pool probe detected
+  // the pointer-keyed group cache pays only where variant bundles repeat
+  // across carriers -- exactly the shared-bundle regime the probe detected
   GroupPtrMemo group_ptr_memo;
   GroupPtrMemo* gmemo = use_pool ? &group_ptr_memo : nullptr;
   vector<vector<string>> warn_parts(n_haps);
@@ -2963,12 +2963,22 @@ PyObject* py_execute_tasks(PyObject*, PyObject* args) {
     size_t n = (size_t)(exe_b.len);
     for (size_t i = 0; i < n; ++i) {
       if (len[i] <= 0) continue;
-      if (dst[i] < 0 || dst[i] + len[i] > res_len) { ok = false; break; }
+      // overflow-safe: a <= limit - b form, never a + b (can wrap)
+      if (dst[i] < 0 || len[i] > res_len || dst[i] > res_len - len[i]) {
+        ok = false;
+        break;
+      }
       if (exe[i] == 0) {
-        if (src[i] < 0 || src[i] + len[i] > blob_n) { ok = false; break; }
+        if (src[i] < 0 || len[i] > blob_n || src[i] > blob_n - len[i]) {
+          ok = false;
+          break;
+        }
         std::memcpy(res + dst[i], blob + src[i], (size_t)len[i]);
       } else if (exe[i] == 1) {
-        if (src[i] < 0 || src[i] + len[i] > alt_n) { ok = false; break; }
+        if (src[i] < 0 || len[i] > alt_n || src[i] > alt_n - len[i]) {
+          ok = false;
+          break;
+        }
         std::memcpy(res + dst[i], alt + src[i], (size_t)len[i]);
       }
     }
@@ -3004,7 +3014,15 @@ PyObject* py_collect_candidates(PyObject*, PyObject* args) {
   string win_out;
   vector<int64_t> starts_out;
   bool ok = true;
-  Py_BEGIN_ALLOW_THREADS {
+  // cross-buffer shape validation BEFORE any indexing: every task array
+  // must carry exe_b.len entries, annotation starts/ends must pair up
+  if (res_len < 0 || kk <= 0 || (int64_t)tape_b.len < res_len ||
+      src_b.len != (Py_ssize_t)exe_b.len * 8 ||
+      len_b.len != (Py_ssize_t)exe_b.len * 8 ||
+      dst_b.len != (Py_ssize_t)exe_b.len * 8 ||
+      ann_s_b.len != ann_e_b.len || ann_s_b.len % 8 != 0)
+    ok = false;
+  Py_BEGIN_ALLOW_THREADS try {
     const uint8_t* exe = static_cast<const uint8_t*>(exe_b.buf);
     const int64_t* tsrc = static_cast<const int64_t*>(src_b.buf);
     const int64_t* tlen = static_cast<const int64_t*>(len_b.buf);
@@ -3017,16 +3035,17 @@ PyObject* py_collect_candidates(PyObject*, PyObject* args) {
     const size_t n_ann = (size_t)(ann_s_b.len / 8);
     const int64_t k = (int64_t)kk;
     const int64_t alt_n = (int64_t)alt_b.len;
-    if ((int64_t)tape_b.len < res_len || k <= 0) {
-      ok = false;
-    } else {
+    if (ok) {
       // mutated-byte prefix sum (alt-sourced, non-'.' bytes)
       vector<int64_t> cum((size_t)res_len + 1, 0);
       vector<uint8_t> is_alt((size_t)res_len, 0);
       for (size_t t = 0; t < n_tasks && ok; ++t) {
         if (exe[t] != 1 || tlen[t] <= 0) continue;
-        if (tdst[t] < 0 || tdst[t] + tlen[t] > res_len || tsrc[t] < 0 ||
-            tsrc[t] + tlen[t] > alt_n) {
+        // overflow-safe form: dst <= res_len - len (all operands checked
+        // non-negative first), never dst + len which can wrap
+        if (tdst[t] < 0 || tlen[t] > res_len ||
+            tdst[t] > res_len - tlen[t] || tsrc[t] < 0 ||
+            tlen[t] > alt_n || tsrc[t] > alt_n - tlen[t]) {
           ok = false;
           break;
         }
@@ -3036,7 +3055,7 @@ PyObject* py_collect_candidates(PyObject*, PyObject* args) {
       }
       if (ok) {
         for (int64_t j = 0; j < res_len; ++j)
-          cum[(size_t)j + 1] = cum[(size_t)j] + is_alt[(size_t)j];
+          cum[(size_t)j + 1] = cum[(size_t)j] + is_alt[(size_t)j];  // NOLINT
         // per-span candidate scan: starts in [s, e-k] with >=1 mutated
         // byte in [j, j+k)
         for (size_t a = 0; a < n_ann; ++a) {
@@ -3051,6 +3070,10 @@ PyObject* py_collect_candidates(PyObject*, PyObject* args) {
         }
       }
     }
+  } catch (...) {
+    // exception barrier: std::bad_alloc etc. must not unwind through the
+    // CPython frame with the GIL released
+    ok = false;
   }
   Py_END_ALLOW_THREADS;
   PyBuffer_Release(&exe_b);

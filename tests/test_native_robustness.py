@@ -189,3 +189,40 @@ def test_truncated_sample_columns_abort_both_tiers(tmp_path):
                 )
             )
         assert "truncated" in str(err.value)
+
+
+def test_collect_candidates_rejects_bad_inputs():
+    """The native candidate collector must raise clean IndexError on
+    negative sizes, mismatched buffer lengths, and overflowing task
+    bounds -- never crash (round-4 review findings)."""
+    import numpy as np
+
+    from vcf2prot_tpu.native_bridge import load_native
+
+    native = load_native()
+    if native is None or not hasattr(native, "collect_candidates"):
+        pytest.skip("native module unavailable")
+    i64 = lambda *v: np.asarray(v, np.int64)  # noqa: E731
+    u8 = lambda *v: np.asarray(v, np.uint8)  # noqa: E731
+    tape = b"ABCDEFGH"
+    good = dict(exe=u8(1), src=i64(0), ln=i64(2), dst=i64(0), alt=b"xy",
+                ann_s=i64(0), ann_e=i64(8), res=8)
+
+    def call(**over):
+        a = dict(good, **over)
+        return native.collect_candidates(
+            a["exe"], a["src"], a["ln"], a["dst"], a["alt"], a["ann_s"],
+            a["ann_e"], tape, a["res"], 3,
+        )
+
+    wins, starts = call()  # sanity: the good program collects
+    assert len(np.frombuffer(starts, np.int64)) > 0
+    for bad in (
+        dict(res=-1),
+        dict(ann_e=i64(8, 9)),                      # mismatched ann pair
+        dict(src=i64(0, 1)),                        # wrong task width
+        dict(dst=i64(2**63 - 2), ln=i64(4)),        # overflow bounds
+        dict(src=i64(2**63 - 2), ln=i64(4), dst=i64(0)),
+    ):
+        with pytest.raises(IndexError):
+            call(**bad)

@@ -173,14 +173,9 @@ class ShardedEngine:
             for d, p in enumerate(packed):
                 alt[d, : len(p.alt)] = p.alt
             alt_len = alt_bucket
-        import os
+        from ..runtime.tpu_engine import use_aligned_exec
 
-        use_aligned = (
-            os.environ.get("VCF2PROT_ALIGNED_EXEC", "1") != "0"
-            and idx_dtype == np.int32
-            and out_bucket >= 1024
-        )
-        if use_aligned:
+        if use_aligned_exec(idx_dtype, out_bucket):
             from ..runtime.tpu_engine import (
                 build_aligned_program,
                 pad_aligned_program,

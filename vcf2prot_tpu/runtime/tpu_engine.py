@@ -134,14 +134,31 @@ def aligned_execute_body(combined, wstart, wbase, bpos, bsrc,
     return out.at[bpos].set(bvals, mode="drop")
 
 
+def use_aligned_exec(idx_dtype, out_bucket: int) -> bool:
+    """Single gate for the word-aligned executor, shared by the
+    single-device and dp-sharded engines so the policy cannot drift:
+    int32 packs only, above the tiny-tape floor, below 2^30 lanes (the
+    int32 pad sentinel must stay out of range), env opt-out honored."""
+    import os
+
+    return (
+        os.environ.get("VCF2PROT_ALIGNED_EXEC", "1") != "0"
+        and idx_dtype == np.int32
+        and 1024 <= out_bucket <= (1 << 30)
+    )
+
+
 def pad_aligned_program(wstart, wbase, bpos, bsrc, task_bucket: int,
                         out_bucket: int, b_bucket: int):
-    """Bucket-pad one aligned program per the body's padding conventions."""
+    """Bucket-pad one aligned program per the body's padding conventions.
+    The boundary-pad sentinel is int32 max, out of range of any gated
+    out_bucket (use_aligned_exec caps it at 2^30), so padded scatter slots
+    always drop."""
     ws = np.full(task_bucket, np.iinfo(np.int32).max, np.int32)
     ws[: len(wstart)] = wstart
     wb = np.zeros(task_bucket, np.int32)
     wb[: len(wbase)] = wbase
-    bp = np.full(b_bucket, out_bucket + 8, np.int32)  # dropped
+    bp = np.full(b_bucket, np.iinfo(np.int32).max, np.int32)  # dropped
     bp[: len(bpos)] = bpos
     bs = np.zeros(b_bucket, np.int32)
     bs[: len(bsrc)] = bsrc
@@ -317,14 +334,7 @@ class TpuEngine:
                 # keep the pool buffer alive so the id() key cannot be reused
                 # by a different object while this cache entry exists
                 self._combined_ref = packed.alt
-        import os
-
-        use_aligned = (
-            os.environ.get("VCF2PROT_ALIGNED_EXEC", "1") != "0"
-            and idx_dtype == np.int32
-            and out_bucket >= 1024
-        )
-        if use_aligned:
+        if use_aligned_exec(idx_dtype, out_bucket):
             wstart, wbase, bpos, bsrc = build_aligned_program(
                 packed.dst, packed.src_biased, packed.total_res,
                 int(combined.shape[0]),
