@@ -192,3 +192,47 @@ def test_truncated_bcf_raises(cohort, tmp_path):
     cut.write_bytes(bgzf_compress(payload[: len(payload) - 37]))
     with pytest.raises(RuntimeError, match="BCF|truncated"):
         compile_cohort_native(str(cut), ref, blob, QC_OFF)
+
+
+def test_gz_input_neoantigen_params_combo(cohort, tmp_path):
+    """Cross-feature integration: BGZF-compressed VCF input + trained
+    scoring-head weights + gzip FASTA output through the CLI must produce
+    exactly the plain-VCF run's records and TSV rows."""
+    import gzip as _gzip
+
+    import numpy as np
+
+    from vcf2prot_tpu.cli import main
+    from vcf2prot_tpu.downstream.scoring import init_params
+    from vcf2prot_tpu.downstream.train import save_params
+    from vcf2prot_tpu.io.bgzf import bgzf_compress
+
+    tmp, ref, _blob, raw, _base = cohort
+    gz = tmp_path / "c.vcf.gz"
+    gz.write_bytes(bgzf_compress(raw))
+    fasta = tmp / "ref.fasta"
+    weights = tmp_path / "w.npz"
+    save_params(str(weights), init_params(9, hidden=48, depth=2, seed=5))
+    out_a, out_b = tmp_path / "plain", tmp_path / "gz"
+    out_a.mkdir()
+    out_b.mkdir()
+    plain_vcf = tmp / "cohort.vcf"
+    base = ["-r", str(fasta), "-g", "mt", "-c", "--neoantigen_k", "9",
+            "--neoantigen_params", str(weights)]
+    assert main(["-f", str(plain_vcf), "-o", str(out_a)] + base) == 0
+    assert main(["-f", str(gz), "-o", str(out_b)] + base) == 0
+    import os
+
+    names = sorted(f for f in os.listdir(out_a) if f.endswith(".fasta.gz"))
+    assert names and names == sorted(
+        f for f in os.listdir(out_b) if f.endswith(".fasta.gz")
+    )
+    for f in names:
+        assert (
+            _gzip.decompress((out_a / f).read_bytes())
+            == _gzip.decompress((out_b / f).read_bytes())
+        )
+    tsvs = sorted(f for f in os.listdir(out_a) if f.endswith(".tsv"))
+    assert tsvs
+    for f in tsvs:
+        assert (out_a / f).read_text() == (out_b / f).read_text()
