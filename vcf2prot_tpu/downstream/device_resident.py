@@ -477,21 +477,23 @@ class DeviceNeoantigenEngine:
         n_samples = handle.n_samples
         # the ONLY fetch: one packed [S, top, 8+k] buffer = one round trip
         vals, gpos, wins = _unpack_rows(np.asarray(handle.packed)[:n_samples])
+        # vectorized row decode (the per-row Python arithmetic was ~15% of
+        # warm collect at 128 samples x top 200): hap / local position come
+        # from array ops; only the final tuple assembly stays per row
+        local = gpos - np.asarray(handle.sample_starts[:n_samples],
+                                  np.int64)[:, None]
+        h1 = np.asarray(handle.hap1_lens, np.int64)[:, None]
+        hap = np.where(local < h1, 1, 2)
+        hpos = np.where(local < h1, local, local - h1)
+        n_valid = (vals != -np.inf).sum(axis=1)  # ranked prefix per sample
         out = {}
         for i in range(n_samples):
-            hap1_len = handle.hap1_lens[i]
-            rows = []
-            for r in range(vals.shape[1]):
-                sc = float(vals[i, r])
-                if sc == -np.inf:
-                    break
-                local = int(gpos[i, r]) - int(handle.sample_starts[i])
-                if local < hap1_len:
-                    hap, hpos = 1, local
-                else:
-                    hap, hpos = 2, local - hap1_len
-                rows.append((sc, hap, hpos, bytes(wins[i, r])))
-            out[i] = rows
+            n = int(n_valid[i])
+            vi, hi, pi, wi = vals[i], hap[i], hpos[i], wins[i]
+            out[i] = [
+                (float(vi[r]), int(hi[r]), int(pi[r]), bytes(wi[r]))
+                for r in range(n)
+            ]
         return out
 
 

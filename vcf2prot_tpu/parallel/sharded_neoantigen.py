@@ -252,21 +252,24 @@ class ShardedNeoantigenEngine:
             return {i: [] for i in range(handle.n_samples)}
         # ONE [D, S, top, 8+k] fetch for the whole mesh
         vals, gpos, wins = _unpack_rows(np.asarray(handle.packed))
+        n_valid = (vals != -np.inf).sum(axis=2)  # ranked prefix per sample
         out = {}
         for d, shard_decode in enumerate(handle.decode):
             for local_i, (pair_idx, seg_start, hap1_len) in enumerate(
                 shard_decode
             ):
-                rows = []
-                for r in range(vals.shape[2]):
-                    sc = float(vals[d, local_i, r])
-                    if sc == -np.inf:
-                        break
-                    local = int(gpos[d, local_i, r]) - seg_start
-                    if local < hap1_len:
-                        hap, hpos = 1, local
-                    else:
-                        hap, hpos = 2, local - hap1_len
-                    rows.append((sc, hap, hpos, bytes(wins[d, local_i, r])))
-                out[pair_idx] = rows
+                n = int(n_valid[d, local_i])
+                vi = vals[d, local_i]
+                gi = gpos[d, local_i].astype(np.int64) - seg_start
+                wi = wins[d, local_i]
+                out[pair_idx] = [
+                    (
+                        float(vi[r]),
+                        1 if gi[r] < hap1_len else 2,
+                        int(gi[r]) if gi[r] < hap1_len
+                        else int(gi[r]) - hap1_len,
+                        bytes(wi[r]),
+                    )
+                    for r in range(n)
+                ]
         return out
