@@ -163,6 +163,26 @@ def _unpack_rows(buf):
     return vals, gpos, buf[..., 8:]
 
 
+def _decode_rows(vals, gpos, wins, seg_start: int, hap1_len: int):
+    """One sample's ranked rows ``[(score, hap, hap_pos, peptide), ...]``
+    from its unpacked ``[top]`` slices — the SINGLE row-decode used by both
+    the single-device and dp-sharded engines (they must never drift).
+
+    The ranked prefix ends at the FIRST ``-inf`` row: pad rows sort last,
+    and a pathological real ``-inf`` score (overflowing trained weights)
+    also ends the prefix, exactly like the original break-based decode.
+    """
+    inf = np.nonzero(vals == -np.inf)[0]
+    n = int(inf[0]) if inf.size else vals.shape[0]
+    local = gpos[:n].astype(np.int64) - seg_start
+    hap = np.where(local < hap1_len, 1, 2)
+    hpos = np.where(local < hap1_len, local, local - hap1_len)
+    return [
+        (float(vals[r]), int(hap[r]), int(hpos[r]), bytes(wins[r]))
+        for r in range(n)
+    ]
+
+
 def _rank_core(tape, cand, scores, sample_starts, *, out_bucket: int, k: int,
                s_bucket: int, top: int):
     """Per-sample top-``top`` by one stable lexicographic sort; see
@@ -477,24 +497,13 @@ class DeviceNeoantigenEngine:
         n_samples = handle.n_samples
         # the ONLY fetch: one packed [S, top, 8+k] buffer = one round trip
         vals, gpos, wins = _unpack_rows(np.asarray(handle.packed)[:n_samples])
-        # vectorized row decode (the per-row Python arithmetic was ~15% of
-        # warm collect at 128 samples x top 200): hap / local position come
-        # from array ops; only the final tuple assembly stays per row
-        local = gpos - np.asarray(handle.sample_starts[:n_samples],
-                                  np.int64)[:, None]
-        h1 = np.asarray(handle.hap1_lens, np.int64)[:, None]
-        hap = np.where(local < h1, 1, 2)
-        hpos = np.where(local < h1, local, local - h1)
-        n_valid = (vals != -np.inf).sum(axis=1)  # ranked prefix per sample
-        out = {}
-        for i in range(n_samples):
-            n = int(n_valid[i])
-            vi, hi, pi, wi = vals[i], hap[i], hpos[i], wins[i]
-            out[i] = [
-                (float(vi[r]), int(hi[r]), int(pi[r]), bytes(wi[r]))
-                for r in range(n)
-            ]
-        return out
+        return {
+            i: _decode_rows(
+                vals[i], gpos[i], wins[i],
+                int(handle.sample_starts[i]), int(handle.hap1_lens[i]),
+            )
+            for i in range(n_samples)
+        }
 
 
 def write_device_neoantigen_reports(outdir, proband_names, programs, blob,

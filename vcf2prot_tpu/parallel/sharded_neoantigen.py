@@ -250,26 +250,18 @@ class ShardedNeoantigenEngine:
             return None
         if handle.kind == "empty":
             return {i: [] for i in range(handle.n_samples)}
-        # ONE [D, S, top, 8+k] fetch for the whole mesh
+        # ONE [D, S, top, 8+k] fetch for the whole mesh; the row decode is
+        # the same helper the single-device engine uses (no twin drift)
+        from ..downstream.device_resident import _decode_rows
+
         vals, gpos, wins = _unpack_rows(np.asarray(handle.packed))
-        n_valid = (vals != -np.inf).sum(axis=2)  # ranked prefix per sample
         out = {}
         for d, shard_decode in enumerate(handle.decode):
             for local_i, (pair_idx, seg_start, hap1_len) in enumerate(
                 shard_decode
             ):
-                n = int(n_valid[d, local_i])
-                vi = vals[d, local_i]
-                gi = gpos[d, local_i].astype(np.int64) - seg_start
-                wi = wins[d, local_i]
-                out[pair_idx] = [
-                    (
-                        float(vi[r]),
-                        1 if gi[r] < hap1_len else 2,
-                        int(gi[r]) if gi[r] < hap1_len
-                        else int(gi[r]) - hap1_len,
-                        bytes(wi[r]),
-                    )
-                    for r in range(n)
-                ]
+                out[pair_idx] = _decode_rows(
+                    vals[d, local_i], gpos[d, local_i], wins[d, local_i],
+                    seg_start, hap1_len,
+                )
         return out
