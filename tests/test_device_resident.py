@@ -66,6 +66,20 @@ def test_run_chunk_matches_host_rows(seed):
     _assert_rows_match(dev_rows, host_rows)
 
 
+@pytest.mark.parametrize("k", [8, 10, 11])
+def test_run_chunk_matches_host_rows_other_k(k):
+    """MHC-I peptides span 8-11-mers; the chain must agree with the host
+    oracle at every k in that range, not just the default 9."""
+    _names, progs, blob = build_cohort(seed=21, n_samples=3)
+    params = init_params(k)
+    eng = DeviceNeoantigenEngine(blob, k, params=params, top=50)
+    dev_rows = eng.run_chunk(progs)
+    assert dev_rows is not None
+    host_rows = _host_chunk_rows(progs, blob, k, params, 50)
+    assert any(len(r) > 0 for r in dev_rows.values())
+    _assert_rows_match(dev_rows, host_rows)
+
+
 def test_run_chunk_matches_host_rows_nondefault_head():
     """Row agreement must hold at non-default head sizes (wider + deeper):
     the device chain's scoring is size-generic, not pinned to the 32x128
