@@ -80,7 +80,10 @@ def test_shard_halves_native_parse_compile_time(tmp_path):
     def stage_time(sample_indices, outdir):
         os.makedirs(outdir)
         best = float("inf")
-        for _ in range(2):
+        # best-of-3: the stage is ~20-50 ms after the round-4 compile
+        # restructuring, so a single co-tenant scheduling stall can flip
+        # the ratio; the minimum is robust to spikes
+        for _ in range(3):
             res = run_pipeline(
                 PipelineConfig(
                     vcf_path=str(vcf), fasta_path=str(fasta),
