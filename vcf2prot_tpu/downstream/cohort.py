@@ -169,10 +169,17 @@ def write_reports_from_candidates(outdir, proband_names, progs, candidates,
         params = init_params(k)
     windows, sample_ids, haps, starts = candidates
     scores = score_cohort(windows, params)
+    # ONE stable lexsort groups rows by (sample asc, score desc); the old
+    # per-sample nonzero scan was O(samples x candidates) and dominated
+    # north-star-scale hybrid runs (2,504 samples x ~50M candidates).
+    # Stability preserves the original order within score ties, exactly
+    # like the per-sample stable argsort it replaces.
+    grouped = np.lexsort((-scores, sample_ids))
+    sorted_ids = sample_ids[grouped]
+    seg = np.searchsorted(sorted_ids, np.arange(len(proband_names) + 1))
     paths = []
     for i, proband in enumerate(proband_names):
-        sel = np.nonzero(sample_ids == i)[0]
-        order = sel[np.argsort(-scores[sel], kind="stable")][:top]
+        order = grouped[seg[i]:seg[i + 1]][:top]
         path = os.path.join(outdir, f"{proband}.neoantigens.tsv")
         with open(path, "w") as fh:
             fh.write(
