@@ -352,11 +352,19 @@ def run_pipeline(cfg: PipelineConfig) -> PipelineResult:
             from .parallel.mesh import make_mesh
 
             mesh = make_mesh()
+        neo_chunk_bytes = cfg.chunk_res_bytes
+        if neo_chunk_bytes == DEFAULT_CHUNK_RES_BYTES:
+            # measured at north-star scale (ARCHITECTURE 2.6): 2^27-lane
+            # chunks run the resident chain 1.45x faster than 2^28 ones
+            # (smaller HBM working set + more pipeline overlap), while
+            # 2^26 is worse (per-chunk fixed costs); the FASTA path keeps
+            # the larger default
+            neo_chunk_bytes = 128 * 1024 * 1024
         with timer.stage("Neoantigen scoring (device-resident)"):
             write_device_neoantigen_reports(
                 cfg.outdir, proband_names, flat, blob, cfg.neoantigen_k,
                 params=neo_params, top=cfg.neoantigen_top,
-                chunk_res_bytes=cfg.chunk_res_bytes, mesh=mesh,
+                chunk_res_bytes=neo_chunk_bytes, mesh=mesh,
             )
         for p in flat:
             result.n_haplotype_seqs += len(p.annotations)
