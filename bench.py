@@ -401,7 +401,7 @@ def main():
             lambda: measure_device_throughput(vcf, fasta), 600,
             "device throughput probe",
         )
-        if gbps:
+        if gbps is not None:  # 0.0 is a legitimate (terrible) measurement
             extra["kernel_gbps"] = round(gbps, 4)
     if os.environ.get("BENCH_NEOANTIGEN", "1") == "1":
         neo = measure_neoantigen_e2e()  # subprocesses w/ their own timeouts

@@ -3056,9 +3056,17 @@ PyObject* py_collect_candidates(PyObject*, PyObject* args) {
       if (ok) {
         for (int64_t j = 0; j < res_len; ++j)
           cum[(size_t)j + 1] = cum[(size_t)j] + is_alt[(size_t)j];  // NOLINT
+        // spans must be sorted and disjoint (the compiler's tiling
+        // invariant): overlapping spans would emit duplicate windows where
+        // the numpy oracle's boolean start mask emits each start once, so
+        // reject them instead of silently diverging
+        for (size_t a = 0; a < n_ann && ok; ++a) {
+          if (ann_s[a] > ann_e[a] || (a > 0 && ann_s[a] < ann_e[a - 1]))
+            ok = false;
+        }
         // per-span candidate scan: starts in [s, e-k] with >=1 mutated
         // byte in [j, j+k)
-        for (size_t a = 0; a < n_ann; ++a) {
+        for (size_t a = 0; ok && a < n_ann; ++a) {
           int64_t s = ann_s[a], e = ann_e[a];
           if (s < 0 || e > res_len || e - s < k) continue;
           for (int64_t j = s; j + k <= e; ++j) {

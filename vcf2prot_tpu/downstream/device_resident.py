@@ -70,7 +70,7 @@ def dense_blk(out_bucket: int, params: dict) -> int:
     width = max(
         (params[name].shape[1] for name in layer_names(params)), default=128
     )
-    blk = (1 << 28) // (4 * max(int(width), 128))
+    blk = max((1 << 28) // (4 * max(int(width), 128)), 1)
     blk = 1 << (blk.bit_length() - 1)  # floor to a power of two
     blk = max(1 << 13, blk)
     # out_bucket is a power of two, so blk <= out_bucket always divides it

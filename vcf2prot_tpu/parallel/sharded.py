@@ -175,7 +175,8 @@ class ShardedEngine:
             alt_len = alt_bucket
         from ..runtime.tpu_engine import use_aligned_exec
 
-        if use_aligned_exec(idx_dtype, out_bucket):
+        if use_aligned_exec(idx_dtype, out_bucket,
+                            len(self.blob.data) + alt_len):
             from ..runtime.tpu_engine import (
                 build_aligned_program,
                 pad_aligned_program,

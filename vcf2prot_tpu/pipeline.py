@@ -32,6 +32,11 @@ from .utils.timers import StageTimer
 # Haplotype programs are executed in chunks bounded by result-tape bytes so
 # device buffers stay well under HBM while still amortizing dispatch.
 DEFAULT_CHUNK_RES_BYTES = 256 * 1024 * 1024
+# The device-resident neoantigen chain defaults smaller: measured at
+# north-star scale (ARCHITECTURE 2.6), 2^27-lane chunks beat 2^28 ones
+# (smaller HBM working set + more pipeline overlap) while 2^26 pays too
+# much per-chunk fixed cost.
+DEFAULT_NEO_CHUNK_RES_BYTES = 128 * 1024 * 1024
 
 
 @dataclass
@@ -47,7 +52,10 @@ class PipelineConfig:
     write_compressed: bool = False
     single_thread_writes: bool = False
     num_threads: int = 0
-    chunk_res_bytes: int = DEFAULT_CHUNK_RES_BYTES
+    # None = per-stage default (DEFAULT_CHUNK_RES_BYTES for FASTA output,
+    # DEFAULT_NEO_CHUNK_RES_BYTES for the device-resident neoantigen chain);
+    # an explicit value applies to both stages
+    chunk_res_bytes: int = None
     qc: QcConfig = None
     # use the C++ frontend/compiler when available; stats and int-map dumps
     # need the Python intermediate maps and route through the Python path
@@ -352,14 +360,11 @@ def run_pipeline(cfg: PipelineConfig) -> PipelineResult:
             from .parallel.mesh import make_mesh
 
             mesh = make_mesh()
-        neo_chunk_bytes = cfg.chunk_res_bytes
-        if neo_chunk_bytes == DEFAULT_CHUNK_RES_BYTES:
-            # measured at north-star scale (ARCHITECTURE 2.6): 2^27-lane
-            # chunks run the resident chain 1.45x faster than 2^28 ones
-            # (smaller HBM working set + more pipeline overlap), while
-            # 2^26 is worse (per-chunk fixed costs); the FASTA path keeps
-            # the larger default
-            neo_chunk_bytes = 128 * 1024 * 1024
+        neo_chunk_bytes = (
+            cfg.chunk_res_bytes
+            if cfg.chunk_res_bytes is not None
+            else DEFAULT_NEO_CHUNK_RES_BYTES
+        )
         with timer.stage("Neoantigen scoring (device-resident)"):
             write_device_neoantigen_reports(
                 cfg.outdir, proband_names, flat, blob, cfg.neoantigen_k,
@@ -410,6 +415,11 @@ def run_pipeline(cfg: PipelineConfig) -> PipelineResult:
             result.n_haplotype_seqs += n_seqs
             result.total_output_bytes += n_bytes
 
+    fasta_chunk_bytes = (
+        cfg.chunk_res_bytes
+        if cfg.chunk_res_bytes is not None
+        else DEFAULT_CHUNK_RES_BYTES
+    )
     with timer.stage("Generating and writing personalized genomes"):
         from .utils.timers import jax_trace
 
@@ -427,7 +437,7 @@ def run_pipeline(cfg: PipelineConfig) -> PipelineResult:
 
                     mesh = make_mesh()
                     dev = ShardedEngine(blob, mesh)
-                    budget = cfg.chunk_res_bytes * mesh.devices.size
+                    budget = fasta_chunk_bytes * mesh.devices.size
                     for chunk in _chunk_indices(
                         flat, budget, pair_aligned=True
                     ):
@@ -438,7 +448,7 @@ def run_pipeline(cfg: PipelineConfig) -> PipelineResult:
                         )
                 else:
                     for chunk, outs in _device_chunk_results(
-                        flat, blob, cfg.chunk_res_bytes,
+                        flat, blob, fasta_chunk_bytes,
                         qc.debug_device_exec, pair_aligned=True,
                     ):
                         account(

@@ -134,17 +134,21 @@ def aligned_execute_body(combined, wstart, wbase, bpos, bsrc,
     return out.at[bpos].set(bvals, mode="drop")
 
 
-def use_aligned_exec(idx_dtype, out_bucket: int) -> bool:
+def use_aligned_exec(idx_dtype, out_bucket: int,
+                     combined_len: int = None) -> bool:
     """Single gate for the word-aligned executor, shared by the
     single-device and dp-sharded engines so the policy cannot drift:
     int32 packs only, above the tiny-tape floor, below 2^30 lanes (the
-    int32 pad sentinel must stay out of range), env opt-out honored."""
+    int32 pad sentinel must stay out of range), a combined blob+alt
+    buffer of >= 2 words (the body gathers word pairs, so its clip bound
+    ``combined_len - 8`` must stay non-negative), env opt-out honored."""
     import os
 
     return (
         os.environ.get("VCF2PROT_ALIGNED_EXEC", "1") != "0"
         and idx_dtype == np.int32
         and 1024 <= out_bucket <= (1 << 30)
+        and (combined_len is None or combined_len >= 8)
     )
 
 
@@ -334,7 +338,7 @@ class TpuEngine:
                 # keep the pool buffer alive so the id() key cannot be reused
                 # by a different object while this cache entry exists
                 self._combined_ref = packed.alt
-        if use_aligned_exec(idx_dtype, out_bucket):
+        if use_aligned_exec(idx_dtype, out_bucket, int(combined.shape[0])):
             wstart, wbase, bpos, bsrc = build_aligned_program(
                 packed.dst, packed.src_biased, packed.total_res,
                 int(combined.shape[0]),
