@@ -93,10 +93,22 @@ def _expand_delta(jnp, vals, starts, out_len):
     return jnp.cumsum(acc)
 
 
-def _shift_left(jnp, arr, n, fill):
-    """arr[j + n] with tail ``fill`` -- a slice + pad, never a gather."""
-    n = min(n, arr.shape[0])
-    return jnp.concatenate([arr[n:], jnp.full(n, fill, arr.dtype)])
+def _tile_deltas(jnp, vals, starts, blk: int, n_tiles: int):
+    """Per-tile carry state for a delta expansion, O(tasks): the cumsum
+    carry entering tile ``t`` is the sum of all deltas scattered at starts
+    below ``t*blk``, computed by binning deltas per tile + one tiny cumsum.
+    Returns ``(delta [tasks], carry [n_tiles])``; padded entries (starts =
+    int32 max) land out of the bin range and drop, exactly like the global
+    scatter's ``mode="drop"``."""
+    v = vals.astype(jnp.int32)
+    delta = v - jnp.concatenate([jnp.zeros(1, jnp.int32), v[:-1]])
+    bins = jnp.zeros(n_tiles, jnp.int32).at[starts // blk].add(
+        delta, mode="drop"
+    )
+    carry = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(bins)[:-1]]
+    )
+    return delta, carry
 
 
 def _dense_core(combined, dst, srcb, exe, ann_starts, ann_ends, params,
@@ -110,33 +122,73 @@ def _dense_core(combined, dst, srcb, exe, ann_starts, ann_ends, params,
     sync plus the candidate-count shape bucket. Pure jax; shared by the
     single-device jit (:func:`_dense_fn`) and the dp-sharded chain
     (parallel/sharded_neoantigen.py).
+
+    TILED (round 5): the whole pass streams the tape in ``blk``-lane tiles
+    inside one ``lax.map`` -- each tile rebuilds its expansions locally
+    (scatter the task deltas whose starts fall in the tile, add the
+    precomputed carry from :func:`_tile_deltas`, cumsum ``blk + k - 1``
+    lanes) and scores its windows immediately. Nothing of size
+    ``[out, k]`` or full-length int32 is ever materialized, only the
+    ``tape/cand/scores`` outputs (6 B/lane), so dense cost stays ~linear
+    in chunk size instead of degrading ~2x from 2^25 to 2^28 lanes under
+    HBM working-set pressure (the round-4 measured scaling, BACKLOG #2a).
+    Tiles overlap by ``k - 1`` lanes so every window is formed from
+    statically-sliced local bytes; overlap lanes past the last real byte
+    gather junk, but any window reading them fails ``j + k <= total_res``
+    and scores NEG, exactly like the old zero-fill shift.
     """
     import jax
     import jax.numpy as jnp
 
-    j = jnp.arange(out_bucket, dtype=jnp.int32)
-    base = _expand_delta(jnp, srcb - dst, dst, out_bucket)
-    g = jnp.clip(base + j, 0, combined.shape[0] - 1)
-    tape = jnp.take(combined, g)
-    is_alt = _expand_delta(jnp, exe, dst, out_bucket)
-    alt = (is_alt > 0) & (tape != ord(".")) & (j < total_res)
-    # mutated-window range query via shifted slices of one prefix sum
-    cum = jnp.cumsum(alt.astype(jnp.int32))
-    in_win = _shift_left(jnp, cum, k - 1, cum[-1]) - jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), cum[:-1]]
+    n_tiles = out_bucket // blk
+    L = blk + k - 1
+    delta_base, carry_base = _tile_deltas(jnp, srcb - dst, dst, blk, n_tiles)
+    delta_exe, carry_exe = _tile_deltas(jnp, exe, dst, blk, n_tiles)
+    delta_span, carry_span = _tile_deltas(
+        jnp, ann_ends, ann_starts, blk, n_tiles
     )
-    span_end = _expand_delta(jnp, ann_ends, ann_starts, out_bucket)
-    cand = (j + k <= span_end) & (j + k <= total_res) & (in_win > 0)
-    # windows are k shifted slices of the tape; score in lax.map blocks
-    # to bound the one-hot/hidden intermediates
-    win = jnp.stack(
-        [_shift_left(jnp, tape, i, 0) for i in range(k)], axis=1
+
+    def expand_local(a, delta, starts, carry_t, length):
+        # starts - a wraps for the int32-max padding sentinel, but the
+        # guard routes every out-of-tile start to the dropped slot
+        idx = jnp.where(
+            (starts >= a) & (starts < a + length), starts - a, length
+        )
+        acc = jnp.zeros(length, jnp.int32).at[idx].add(delta, mode="drop")
+        return carry_t + jnp.cumsum(acc)
+
+    def tile(t):
+        a = t * blk
+        base = expand_local(a, delta_base, dst, carry_base[t], L)
+        jg = a + jnp.arange(L, dtype=jnp.int32)
+        g = jnp.clip(base + jg, 0, combined.shape[0] - 1)
+        tape_seg = jnp.take(combined, g)
+        is_alt = expand_local(a, delta_exe, dst, carry_exe[t], L)
+        alt = (is_alt > 0) & (tape_seg != ord(".")) & (jg < total_res)
+        # mutated-window range query: local prefix sum over the
+        # overlapped segment; the carry cancels in the difference
+        cum = jnp.cumsum(alt.astype(jnp.int32))
+        in_win = cum[k - 1:] - jnp.concatenate(
+            [jnp.zeros(1, jnp.int32), cum]
+        )[:blk]
+        span_end = expand_local(
+            a, delta_span, ann_starts, carry_span[t], blk
+        )
+        jm = jg[:blk]
+        cand = (jm + k <= span_end) & (jm + k <= total_res) & (in_win > 0)
+        # windows are k static slices of the overlapped local segment
+        win = jnp.stack([tape_seg[i:i + blk] for i in range(k)], axis=1)
+        scores = score_windows(win, params)
+        return tape_seg[:blk], cand, jnp.where(cand, scores, NEG)
+
+    tape, cand, scores = jax.lax.map(
+        tile, jnp.arange(n_tiles, dtype=jnp.int32)
     )
-    scores = jax.lax.map(
-        lambda w: score_windows(w, params),
-        win.reshape(out_bucket // blk, blk, k),
-    ).reshape(out_bucket)
-    return tape, cand, jnp.where(cand, scores, NEG)
+    return (
+        tape.reshape(out_bucket),
+        cand.reshape(out_bucket),
+        scores.reshape(out_bucket),
+    )
 
 
 def _pack_rows(jnp, vals, gpos, wins):
@@ -183,10 +235,105 @@ def _decode_rows(vals, gpos, wins, seg_start: int, hap1_len: int):
     ]
 
 
+def rank_blk(out_bucket: int) -> int:
+    """Block size for the segmented rank sort (power of two, divides the
+    power-of-two ``out_bucket``); env-tunable for measurement."""
+    import os
+
+    b = int(os.environ.get("VCF2PROT_RANK_BLK", str(1 << 15)))
+    b = 1 << (max(b, 1).bit_length() - 1)
+    return min(out_bucket, b)
+
+
+def count_spb(sample_starts, blk: int) -> int:
+    """Static bound on distinct samples intersecting any ``blk``-lane rank
+    block: (max segment starts inside one block) + 1 (the segment spanning
+    the block start). Computed host-side from the chunk's sample segment
+    starts; folded over chunks into :class:`Buckets` for shape stability."""
+    starts = np.asarray(sample_starts, np.int64)
+    if starts.size == 0:
+        return 1
+    return int(np.bincount(starts // blk).max()) + 1
+
+
+def _rank_segmented(jax, jnp, sid, negsc, pos, *, out_bucket: int,
+                    s_bucket: int, top: int, blk: int, spb: int):
+    """Segmented per-sample top-``top``: per-block 2-key stable sorts over
+    ``blk`` lanes instead of one global sort over ``out_bucket`` lanes.
+
+    Within each block, each sample's block-local top-``top`` is a superset
+    of its contribution to the global top-``top`` (any row outside the
+    block-local top has >= top better rows in that block alone), so pruning
+    to ``spb * top`` rows per block before a small global sort is exact --
+    including tie order: block-local stability keeps ascending position,
+    and the flatten order (block-major) presents equal (sid, score) rows to
+    the final stable sort in ascending position. Sorted bytes drop from
+    ``12 * out_bucket`` at log2(out) depth to ``12 * out_bucket`` at
+    log2(blk) depth plus a ~(out/(spb*top*nb))x smaller global sort.
+    Returns the (sid, -score, pos) triple sorted by (sample asc, score
+    desc), length ``nb * spb * top``.
+    """
+    nb = out_bucket // blk
+    sid_s, neg_s, pos_s = jax.lax.sort(
+        (sid.reshape(nb, blk), negsc.reshape(nb, blk),
+         pos.reshape(nb, blk)),
+        dimension=1, num_keys=2, is_stable=True,
+    )
+    change = jnp.concatenate(
+        [jnp.ones((nb, 1), bool), sid_s[:, 1:] != sid_s[:, :-1]], axis=1
+    )
+    slot = jnp.cumsum(change.astype(jnp.int32), axis=1) - 1
+    # run_start[b, s] = first lane of the s-th distinct-sid run (slot is
+    # sorted per block, so a batched binary search beats any scatter)
+    run_start = jax.vmap(
+        lambda sl: jnp.searchsorted(
+            sl, jnp.arange(spb, dtype=jnp.int32), side="left"
+        )
+    )(slot).astype(jnp.int32)
+    idx = (
+        run_start[:, :, None]
+        + jnp.arange(top, dtype=jnp.int32)[None, None, :]
+    )
+    idx_f = jnp.clip(idx, 0, blk - 1).reshape(nb, spb * top)
+    sid_g = jnp.take_along_axis(sid_s, idx_f, axis=1)
+    neg_g = jnp.take_along_axis(neg_s, idx_f, axis=1)
+    pos_g = jnp.take_along_axis(pos_s, idx_f, axis=1)
+    sid0 = jnp.take_along_axis(
+        sid_s, jnp.clip(run_start, 0, blk - 1), axis=1
+    )
+    ok = (
+        (idx < blk)
+        & (run_start[:, :, None] < blk)
+        & (sid_g.reshape(nb, spb, top) == sid0[:, :, None])
+        & (sid0[:, :, None] < s_bucket)
+    ).reshape(nb, spb * top)
+    sid_c = jnp.where(ok, sid_g, s_bucket).reshape(-1)
+    neg_c = jnp.where(ok, neg_g, jnp.inf).reshape(-1)
+    pos_c = jnp.where(ok, pos_g, 0).reshape(-1)
+    return jax.lax.sort((sid_c, neg_c, pos_c), num_keys=2, is_stable=True)
+
+
+def use_segmented_rank(out_bucket: int, top: int, blk: int,
+                       spb: int) -> bool:
+    """Gate for the segmented rank path: the pruned per-block rows must be
+    a small fraction of the block (else the extra pass costs more than the
+    shallower sort saves), and multiple blocks must exist."""
+    import os
+
+    return (
+        os.environ.get("VCF2PROT_SEG_RANK", "1") != "0"
+        and spb > 0
+        and out_bucket > blk
+        and spb * top * 4 <= blk
+    )
+
+
 def _rank_core(tape, cand, scores, sample_starts, *, out_bucket: int, k: int,
-               s_bucket: int, top: int):
-    """Per-sample top-``top`` by one stable lexicographic sort; see
-    :func:`_dense_core` for the sharing contract."""
+               s_bucket: int, top: int, spb: int = 0):
+    """Per-sample top-``top``; see :func:`_dense_core` for the sharing
+    contract. ``spb`` > 0 (the :class:`Buckets` per-block sample bound)
+    enables the segmented sort (:func:`_rank_segmented`) when the gate
+    accepts; otherwise one global stable lexicographic sort."""
     import jax
     import jax.numpy as jnp
 
@@ -198,18 +345,27 @@ def _rank_core(tape, cand, scores, sample_starts, *, out_bucket: int, k: int,
         out_bucket,
     )
     sid = jnp.where(cand, sid, s_bucket)
-    # one stable lexicographic sort: (sample asc, score desc); stability
-    # over the position-ordered input keeps score ties in ascending tape
-    # position, the host path's tie order
-    sid_s, negsc_s, pos_s = jax.lax.sort(
-        (sid, -scores, j), num_keys=2, is_stable=True
-    )
+    blk = rank_blk(out_bucket)
+    if use_segmented_rank(out_bucket, top, blk, spb):
+        sid_s, negsc_s, pos_s = _rank_segmented(
+            jax, jnp, sid, -scores, j, out_bucket=out_bucket,
+            s_bucket=s_bucket, top=top, blk=blk, spb=spb,
+        )
+        n_rows = sid_s.shape[0]
+    else:
+        # one stable lexicographic sort: (sample asc, score desc);
+        # stability over the position-ordered input keeps score ties in
+        # ascending tape position, the host path's tie order
+        sid_s, negsc_s, pos_s = jax.lax.sort(
+            (sid, -scores, j), num_keys=2, is_stable=True
+        )
+        n_rows = out_bucket
     seg = jnp.searchsorted(
         sid_s, jnp.arange(s_bucket, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
     idx = seg[:, None] + jnp.arange(top, dtype=jnp.int32)[None, :]
-    idx_c = jnp.clip(idx, 0, out_bucket - 1)
-    valid = (idx < out_bucket) & (
+    idx_c = jnp.clip(idx, 0, n_rows - 1)
+    valid = (idx < n_rows) & (
         sid_s[idx_c] == jnp.arange(s_bucket, dtype=jnp.int32)[:, None]
     )
     vals = jnp.where(valid, -negsc_s[idx_c], NEG)
@@ -240,7 +396,8 @@ def _dense_fn(out_bucket: int, k: int, blk: int):
 
 
 @functools.lru_cache(maxsize=32)
-def _rank_fn(out_bucket: int, k: int, s_bucket: int, top: int):
+def _rank_fn(out_bucket: int, k: int, s_bucket: int, top: int,
+             spb: int = 0):
     import jax
     import jax.numpy as jnp
 
@@ -253,6 +410,7 @@ def _rank_fn(out_bucket: int, k: int, s_bucket: int, top: int):
         vals, gpos, wins = _rank_core(
             tape, cand, scores, sample_starts,
             out_bucket=out_bucket, k=k, s_bucket=s_bucket, top=top,
+            spb=spb,
         )
         return _pack_rows(jnp, vals, gpos, wins)
 
@@ -308,12 +466,23 @@ class Buckets(NamedTuple):
     ann: int      # annotation spans
     samples: int  # per-chunk sample count
     alt: int      # chunk alt-tape bytes (combined = blob || alt)
+    spb: int = 1  # samples-per-rank-block bound (count_spb, run-wide max)
+
+
+def _chunk_sample_starts(progs):
+    """Chunk-coordinate segment starts of each sample (pair), from program
+    result lengths alone (matches pack_cohort's spans for contiguous
+    chunks; non-contiguous chunks fall back to host at dispatch anyway)."""
+    lens = np.fromiter((p.res_len for p in progs), np.int64, len(progs))
+    ends = np.cumsum(lens)
+    return np.concatenate([[0], ends[:-1]])[::2]
 
 
 def run_buckets(programs, chunks) -> Buckets:
     """Fold per-chunk shape needs into one run-wide Buckets."""
-    out = tasks = ann = samples = alt = 1
+    out = tasks = ann = samples = alt = spb = 1
     pooled = bool(programs) and all(p.pooled for p in programs)
+    starts_per_chunk = []
     for chunk in chunks:
         progs = [programs[i] for i in chunk]
         out = max(out, sum(p.res_len for p in progs))
@@ -327,8 +496,14 @@ def run_buckets(programs, chunks) -> Buckets:
             len(progs[0].alt) if pooled and progs
             else sum(len(p.alt) for p in progs),
         )
+        starts_per_chunk.append(_chunk_sample_starts(progs))
+    out_b = pad_to_bucket(out)
+    blk = rank_blk(out_b)
+    for starts in starts_per_chunk:
+        spb = max(spb, count_spb(starts, blk))
     return Buckets(
-        *(pad_to_bucket(v) for v in (out, tasks, ann, samples, alt))
+        *(pad_to_bucket(v) for v in (out, tasks, ann, samples, alt)),
+        spb=spb,
     )
 
 
@@ -447,6 +622,9 @@ class DeviceNeoantigenEngine:
             ann_need = max(ann_need, buckets.ann)
             s_need = max(s_need, buckets.samples)
             alt_need = max(alt_need, buckets.alt)
+        spb = count_spb(sample_starts, rank_blk(out_bucket))
+        if buckets is not None:
+            spb = max(spb, buckets.spb)
         combined = self._combined(packed, alt_bucket=alt_need)
         idx_dtype = packed.dst.dtype
         imax = np.iinfo(np.int32).max
@@ -476,7 +654,7 @@ class DeviceNeoantigenEngine:
             self.params, np.int32(packed.total_res),
         )
         rows_packed = _rank_fn(
-            out_bucket, self.k, s_bucket, self.top
+            out_bucket, self.k, s_bucket, self.top, spb
         )(tape, cand, scores, put(st))
         hap1_lens = [
             packed.spans[2 * i][2] - packed.spans[2 * i][1]

@@ -65,10 +65,17 @@ def partition_pairs(programs, n_shards: int):
 
 def shard_buckets(programs, chunks, n_shards: int) -> Buckets:
     """Fold per-(chunk, shard) shape needs into one run-wide Buckets."""
-    out = tasks = ann = samples = alt = 1
+    from ..downstream.device_resident import (
+        _chunk_sample_starts,
+        count_spb,
+        rank_blk,
+    )
+
+    out = tasks = ann = samples = alt = spb = 1
     pooled = bool(programs) and all(p.pooled for p in programs)
     if pooled:
         alt = len(programs[0].alt)
+    shard_progs_all = []
     for chunk in chunks:
         progs = [programs[i] for i in chunk]
         for pair_idxs in partition_pairs(progs, n_shards):
@@ -82,8 +89,13 @@ def shard_buckets(programs, chunks, n_shards: int) -> Buckets:
             samples = max(samples, len(pair_idxs))
             if not pooled:
                 alt = max(alt, sum(len(p.alt) for p in sp))
+            shard_progs_all.append(sp)
+    blk = rank_blk(pad_to_bucket(out))
+    for sp in shard_progs_all:
+        spb = max(spb, count_spb(_chunk_sample_starts(sp), blk))
     return Buckets(
-        *(pad_to_bucket(v) for v in (out, tasks, ann, samples, alt))
+        *(pad_to_bucket(v) for v in (out, tasks, ann, samples, alt)),
+        spb=spb,
     )
 
 
@@ -113,6 +125,7 @@ def _sharded_chain(mesh, buckets: Buckets, k: int, blk: int, top: int,
         vals, gpos, wins = _rank_core(
             tape, cand, scores, starts[0],
             out_bucket=buckets.out, k=k, s_bucket=buckets.samples, top=top,
+            spb=buckets.spb,
         )
         # one packed [1, S, top, 8+k] buffer per shard: the whole mesh's
         # results come back in ONE [D, ...] fetch (see _pack_rows)
