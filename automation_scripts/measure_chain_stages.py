@@ -110,10 +110,17 @@ def main():
     combined = eng._combined(packed)
     put = lambda a: jax.device_put(a, eng.device)  # noqa: E731
     blk = dr.dense_blk(out_bucket, params)
-    dense = dr._dense_fn(out_bucket, K, blk)
-    rank = dr._rank_fn(out_bucket, K, s_bucket, 200)
+    n_tiles = out_bucket // blk
+    tl, m_task = dr.tile_slices(packed.dst, blk, n_tiles, K - 1)
+    al, m_ann = dr.tile_slices(ann_s_raw, blk, n_tiles, 0)
+    m_task = min(task_bucket, pad_to_bucket(m_task))
+    m_ann = min(ann_bucket, pad_to_bucket(m_ann))
+    spb = dr.count_spb(st[:n_samples], dr.rank_blk(out_bucket))
+    dense = dr._dense_fn(out_bucket, K, blk, m_task, m_ann)
+    rank = dr._rank_fn(out_bucket, K, s_bucket, 200, spb)
     args_d = (combined, put(dst), put(srcb), put(exe), put(ann_s),
-              put(ann_e), params, np.int32(packed.total_res))
+              put(ann_e), params, np.int32(packed.total_res),
+              put(tl), put(al))
 
     def sync1(x):
         np.asarray(x.ravel()[:1])

@@ -111,8 +111,24 @@ def _tile_deltas(jnp, vals, starts, blk: int, n_tiles: int):
     return delta, carry
 
 
+def tile_slices(starts, blk: int, n_tiles: int, overlap: int):
+    """Host-side per-tile slice table for a sorted segment-start array:
+    ``lo[t]`` = first entry with start >= t*blk, and the static cap
+    ``m`` = max entries any tile's ``[t*blk, t*blk + blk + overlap)`` range
+    holds. Each device tile then scatters only its own slice instead of
+    re-scanning the whole array (the difference between O(tasks) and
+    O(tasks * n_tiles) scatter updates across the map)."""
+    s = np.asarray(starts)
+    a = np.arange(n_tiles, dtype=np.int64) * blk
+    lo = np.searchsorted(s, a, side="left")
+    hi = np.searchsorted(s, a + blk + overlap, side="left")
+    m = int((hi - lo).max()) if n_tiles else 1
+    return lo.astype(np.int32), max(m, 1)
+
+
 def _dense_core(combined, dst, srcb, exe, ann_starts, ann_ends, params,
-                total_res, *, out_bucket: int, k: int, blk: int):
+                total_res, tile_lo, ann_lo, *, out_bucket: int, k: int,
+                blk: int, m_task: int, m_ann: int, score: bool = True):
     """Execute + masks + dense scoring over one chunk, all static-shaped.
 
     Scores EVERY tape position (invalid windows -> NEG): scoring the ~10x
@@ -150,7 +166,8 @@ def _dense_core(combined, dst, srcb, exe, ann_starts, ann_ends, params,
 
     def expand_local(a, delta, starts, carry_t, length):
         # starts - a wraps for the int32-max padding sentinel, but the
-        # guard routes every out-of-tile start to the dropped slot
+        # guard routes every out-of-tile start to the dropped slot (and
+        # drops any out-of-range entry dynamic_slice's clamping re-included)
         idx = jnp.where(
             (starts >= a) & (starts < a + length), starts - a, length
         )
@@ -159,11 +176,18 @@ def _dense_core(combined, dst, srcb, exe, ann_starts, ann_ends, params,
 
     def tile(t):
         a = t * blk
-        base = expand_local(a, delta_base, dst, carry_base[t], L)
+        lo = tile_lo[t]
+        d_s = jax.lax.dynamic_slice(dst, (lo,), (m_task,))
+        db_s = jax.lax.dynamic_slice(delta_base, (lo,), (m_task,))
+        de_s = jax.lax.dynamic_slice(delta_exe, (lo,), (m_task,))
+        al = ann_lo[t]
+        as_s = jax.lax.dynamic_slice(ann_starts, (al,), (m_ann,))
+        ds_s = jax.lax.dynamic_slice(delta_span, (al,), (m_ann,))
+        base = expand_local(a, db_s, d_s, carry_base[t], L)
         jg = a + jnp.arange(L, dtype=jnp.int32)
         g = jnp.clip(base + jg, 0, combined.shape[0] - 1)
         tape_seg = jnp.take(combined, g)
-        is_alt = expand_local(a, delta_exe, dst, carry_exe[t], L)
+        is_alt = expand_local(a, de_s, d_s, carry_exe[t], L)
         alt = (is_alt > 0) & (tape_seg != ord(".")) & (jg < total_res)
         # mutated-window range query: local prefix sum over the
         # overlapped segment; the carry cancels in the difference
@@ -171,24 +195,18 @@ def _dense_core(combined, dst, srcb, exe, ann_starts, ann_ends, params,
         in_win = cum[k - 1:] - jnp.concatenate(
             [jnp.zeros(1, jnp.int32), cum]
         )[:blk]
-        span_end = expand_local(
-            a, delta_span, ann_starts, carry_span[t], blk
-        )
+        span_end = expand_local(a, ds_s, as_s, carry_span[t], blk)
         jm = jg[:blk]
         cand = (jm + k <= span_end) & (jm + k <= total_res) & (in_win > 0)
+        if not score:  # mask-only pass for the compacted chain
+            return tape_seg[:blk], cand
         # windows are k static slices of the overlapped local segment
         win = jnp.stack([tape_seg[i:i + blk] for i in range(k)], axis=1)
         scores = score_windows(win, params)
         return tape_seg[:blk], cand, jnp.where(cand, scores, NEG)
 
-    tape, cand, scores = jax.lax.map(
-        tile, jnp.arange(n_tiles, dtype=jnp.int32)
-    )
-    return (
-        tape.reshape(out_bucket),
-        cand.reshape(out_bucket),
-        scores.reshape(out_bucket),
-    )
+    outs = jax.lax.map(tile, jnp.arange(n_tiles, dtype=jnp.int32))
+    return tuple(o.reshape(out_bucket) for o in outs)
 
 
 def _pack_rows(jnp, vals, gpos, wins):
@@ -359,7 +377,17 @@ def _rank_core(tape, cand, scores, sample_starts, *, out_bucket: int, k: int,
         sid_s, negsc_s, pos_s = jax.lax.sort(
             (sid, -scores, j), num_keys=2, is_stable=True
         )
-        n_rows = out_bucket
+    return _select_top(
+        jnp, tape, sid_s, negsc_s, pos_s, s_bucket=s_bucket, top=top, k=k
+    )
+
+
+def _select_top(jnp, tape, sid_s, negsc_s, pos_s, *, s_bucket: int,
+                top: int, k: int):
+    """Per-sample row extraction from a (sid asc, score desc)-sorted triple:
+    segment starts by binary search, ``top`` rows per segment, peptide bytes
+    gathered from the tape. Shared by the dense and compacted rank paths."""
+    n_rows = sid_s.shape[0]
     seg = jnp.searchsorted(
         sid_s, jnp.arange(s_bucket, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
@@ -376,8 +404,137 @@ def _rank_core(tape, cand, scores, sample_starts, *, out_bucket: int, k: int,
     return vals, gpos, wins
 
 
+def cand_bound(programs, k: int) -> int:
+    """Host-side upper bound on candidate windows in a chunk, O(tasks): a
+    candidate window must overlap an alt-sourced byte, and an alt task of
+    length L can be overlapped by at most L + k - 1 window starts ('.'
+    filler and span/validity clipping only shrink the true count)."""
+    total = 0
+    for p in programs:
+        exe = np.asarray(p.exe) == 1
+        n_exe = int(exe.sum())
+        if n_exe:
+            total += int(np.asarray(p.length)[exe].sum()) + (k - 1) * n_exe
+    return total
+
+
+def use_compact(params: dict, k: int, out_bucket: int,
+                c_bucket: int) -> bool:
+    """Gate for the compacted scoring path: worth it only when the head is
+    wide enough that scoring all ~out/C extra windows costs more than the
+    compaction sort + window gather, and the candidate bound is actually a
+    small fraction of the tape. The aligned 4-word window extraction needs
+    k <= 13. VCF2PROT_COMPACT=1 forces on (tests), =0 off, default auto."""
+    import os
+
+    from ..utils.roofline import scoring_flops_per_window
+
+    env = os.environ.get("VCF2PROT_COMPACT", "auto")
+    if env == "0":
+        return False
+    if k > 13 or c_bucket * 4 > out_bucket:
+        return False
+    if env == "1":
+        return True
+    return scoring_flops_per_window(params) >= 2e5
+
+
+def _compact_core(combined, dst, srcb, exe, ann_starts, ann_ends,
+                  sample_starts, params, total_res, tile_lo, ann_lo, *,
+                  out_bucket: int, k: int, blk: int, m_task: int,
+                  m_ann: int, c_bucket: int, s_bucket: int, top: int):
+    """Compacted chain: mask-only tiled pass, candidates to the front of a
+    1-key sort, score ONLY the static candidate bucket, rank over it.
+
+    The dense pass scores ~11x more windows than the candidate set
+    (ARCHITECTURE 2.6); at wide heads those FLOPs dominate, so this path
+    pays one cheap single-operand sort (ascending position key; candidates
+    keyed ``j``, others ``j + out_bucket``) plus a 4-word-aligned window
+    gather (4 u32 lanes per window, byte offset resolved by a 4-way
+    select -- never a per-byte gather) to shrink the scoring batch to
+    ``c_bucket``. ``c_bucket`` comes from the host-side :func:`cand_bound`
+    (an upper bound), so no candidate can overflow and no data-dependent
+    host sync or fallback branch is needed. Scores are bit-identical to
+    the dense path's (same windows, same per-row reduction); the rank sort
+    runs over ``c_bucket`` lanes instead of ``out_bucket``.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    tape, cand = _dense_core(
+        combined, dst, srcb, exe, ann_starts, ann_ends, params, total_res,
+        tile_lo, ann_lo, out_bucket=out_bucket, k=k, blk=blk,
+        m_task=m_task, m_ann=m_ann, score=False,
+    )
+    j = jnp.arange(out_bucket, dtype=jnp.int32)
+    sid = _expand_delta(
+        jnp, jnp.arange(s_bucket, dtype=jnp.int32), sample_starts,
+        out_bucket,
+    )
+    sid = jnp.where(cand, sid, s_bucket)
+    key = jnp.where(cand, j, j + out_bucket)
+    key_s, sid_sorted = jax.lax.sort((key, sid), num_keys=1)
+    key_c = jax.lax.slice(key_s, (0,), (c_bucket,))
+    sid_c = jax.lax.slice(sid_sorted, (0,), (c_bucket,))
+    real = key_c < out_bucket
+    pos_c = jnp.where(real, key_c, 0)
+    # aligned window extraction: 4 u32 words cover any k<=13 window; the
+    # in-word byte offset collapses to a 4-way select over static slices
+    tw = jax.lax.bitcast_convert_type(
+        jnp.concatenate([tape, jnp.zeros(16, jnp.uint8)])
+        [: (out_bucket // 4 + 4) * 4].reshape(-1, 4),
+        jnp.uint32,
+    ).reshape(-1)
+    w4 = tw[(pos_c >> 2)[:, None] + jnp.arange(4, dtype=jnp.int32)[None, :]]
+    b16 = jax.lax.bitcast_convert_type(
+        w4[..., None], jnp.uint8
+    ).reshape(c_bucket, 16)
+    off = jnp.broadcast_to(
+        (pos_c & 3).astype(jnp.int32)[:, None], (c_bucket, k)
+    )
+    win = jax.lax.select_n(off, *(b16[:, i:i + k] for i in range(4)))
+    cblk = min(blk, c_bucket)
+    scores_c = jax.lax.map(
+        lambda w: score_windows(w, params),
+        win.reshape(c_bucket // cblk, cblk, k),
+    ).reshape(c_bucket)
+    scores_c = jnp.where(real, scores_c, NEG)
+    # rank over the compacted lanes: same stable (sample asc, score desc)
+    # sort; pos_c ascends pre-sort, so tie order matches the dense path
+    sid_r, neg_r, pos_r = jax.lax.sort(
+        (sid_c, -scores_c, pos_c), num_keys=2, is_stable=True
+    )
+    return _select_top(
+        jnp, tape, sid_r, neg_r, pos_r, s_bucket=s_bucket, top=top, k=k
+    )
+
+
 @functools.lru_cache(maxsize=32)
-def _dense_fn(out_bucket: int, k: int, blk: int):
+def _compact_fn(out_bucket: int, k: int, blk: int, m_task: int, m_ann: int,
+                c_bucket: int, s_bucket: int, top: int):
+    import jax
+    import jax.numpy as jnp
+
+    from ..utils.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    @jax.jit
+    def run(combined, dst, srcb, exe, ann_starts, ann_ends, sample_starts,
+            params, total_res, tile_lo, ann_lo):
+        vals, gpos, wins = _compact_core(
+            combined, dst, srcb, exe, ann_starts, ann_ends, sample_starts,
+            params, total_res, tile_lo, ann_lo, out_bucket=out_bucket,
+            k=k, blk=blk, m_task=m_task, m_ann=m_ann, c_bucket=c_bucket,
+            s_bucket=s_bucket, top=top,
+        )
+        return _pack_rows(jnp, vals, gpos, wins)
+
+    return run
+
+
+@functools.lru_cache(maxsize=32)
+def _dense_fn(out_bucket: int, k: int, blk: int, m_task: int, m_ann: int):
     import jax
 
     from ..utils.jaxcache import enable_persistent_cache
@@ -386,10 +543,11 @@ def _dense_fn(out_bucket: int, k: int, blk: int):
 
     @jax.jit
     def run(combined, dst, srcb, exe, ann_starts, ann_ends, params,
-            total_res):
+            total_res, tile_lo, ann_lo):
         return _dense_core(
             combined, dst, srcb, exe, ann_starts, ann_ends, params,
-            total_res, out_bucket=out_bucket, k=k, blk=blk,
+            total_res, tile_lo, ann_lo, out_bucket=out_bucket, k=k, blk=blk,
+            m_task=m_task, m_ann=m_ann,
         )
 
     return run
@@ -467,6 +625,9 @@ class Buckets(NamedTuple):
     samples: int  # per-chunk sample count
     alt: int      # chunk alt-tape bytes (combined = blob || alt)
     spb: int = 1  # samples-per-rank-block bound (count_spb, run-wide max)
+    cand: int = 1  # candidate-window bound (cand_bound, run-wide max)
+    m_task: int = 1  # per-tile task slice cap (tile_slices, run-wide max)
+    m_ann: int = 1   # per-tile annotation slice cap
 
 
 def _chunk_sample_starts(progs):
@@ -478,9 +639,35 @@ def _chunk_sample_starts(progs):
     return np.concatenate([[0], ends[:-1]])[::2]
 
 
-def run_buckets(programs, chunks) -> Buckets:
-    """Fold per-chunk shape needs into one run-wide Buckets."""
-    out = tasks = ann = samples = alt = spb = 1
+def _chunk_concat_starts(progs):
+    """Chunk-coordinate concatenated task dsts and annotation starts (both
+    sorted ascending by the tiling invariant), for per-tile slice sizing."""
+    dsts, anns = [], []
+    off = 0
+    for p in progs:
+        dsts.append(np.asarray(p.dst, np.int64) + off)
+        ann = p.annotations
+        if hasattr(ann, "starts"):
+            a_st = np.asarray(ann.starts, np.int64)
+        else:
+            a_st = np.fromiter((s for _n, s, _e in ann), np.int64, len(ann))
+        anns.append(a_st + off)
+        off += p.res_len
+    z = np.zeros(0, np.int64)
+    return (
+        np.concatenate(dsts) if dsts else z,
+        np.concatenate(anns) if anns else z,
+    )
+
+
+def run_buckets(programs, chunks, k: int = 9, params=None) -> Buckets:
+    """Fold per-chunk shape needs into one run-wide Buckets. ``params``
+    (the scoring head) sizes the dense tile width, letting the per-tile
+    task/annotation slice caps fold run-wide too; without it the caps
+    default and each chunk sizes its own (same shapes when chunks are
+    homogeneous)."""
+    out = tasks = ann = samples = alt = spb = cand = 1
+    m_task = m_ann = 1
     pooled = bool(programs) and all(p.pooled for p in programs)
     starts_per_chunk = []
     for chunk in chunks:
@@ -489,6 +676,7 @@ def run_buckets(programs, chunks) -> Buckets:
         tasks = max(tasks, sum(p.n_tasks for p in progs))
         ann = max(ann, sum(len(p.annotations) for p in progs))
         samples = max(samples, len(progs) // 2)
+        cand = max(cand, cand_bound(progs, k))
         # pooled programs all reference ONE shared alt pool; non-pooled
         # chunks concatenate per-program alt tapes (pack_cohort)
         alt = max(
@@ -501,9 +689,20 @@ def run_buckets(programs, chunks) -> Buckets:
     blk = rank_blk(out_b)
     for starts in starts_per_chunk:
         spb = max(spb, count_spb(starts, blk))
+    if params is not None:
+        dblk = dense_blk(out_b, params)
+        n_tiles = out_b // dblk
+        for chunk in chunks:
+            progs = [programs[i] for i in chunk]
+            dst_c, ann_c = _chunk_concat_starts(progs)
+            m_task = max(m_task, tile_slices(dst_c, dblk, n_tiles, k - 1)[1])
+            m_ann = max(m_ann, tile_slices(ann_c, dblk, n_tiles, 0)[1])
     return Buckets(
         *(pad_to_bucket(v) for v in (out, tasks, ann, samples, alt)),
         spb=spb,
+        cand=pad_to_bucket(cand),
+        m_task=pad_to_bucket(m_task),
+        m_ann=pad_to_bucket(m_ann),
     )
 
 
@@ -649,13 +848,38 @@ class DeviceNeoantigenEngine:
         st[:n_samples] = sample_starts
         put = lambda a: jax.device_put(a, self.device)  # noqa: E731
         blk = dense_blk(out_bucket, self.params)
-        tape, cand, scores = _dense_fn(out_bucket, self.k, blk)(
-            combined, put(dst), put(srcb), put(exe), put(ann_s), put(ann_e),
-            self.params, np.int32(packed.total_res),
-        )
-        rows_packed = _rank_fn(
-            out_bucket, self.k, s_bucket, self.top, spb
-        )(tape, cand, scores, put(st))
+        n_tiles = out_bucket // blk
+        tl, m_task = tile_slices(packed.dst, blk, n_tiles, self.k - 1)
+        al, m_ann = tile_slices(ann_starts, blk, n_tiles, 0)
+        m_task = min(task_bucket, max(
+            pad_to_bucket(m_task), buckets.m_task if buckets else 1))
+        m_ann = min(ann_bucket, max(
+            pad_to_bucket(m_ann), buckets.m_ann if buckets else 1))
+        c_bucket = min(out_bucket, max(
+            pad_to_bucket(max(cand_bound(programs, self.k), 1)),
+            buckets.cand if buckets else 1))
+        total_res = np.int32(packed.total_res)
+        if use_compact(self.params, self.k, out_bucket, c_bucket):
+            # wide head: mask-only pass + compacted scoring + rank, fused
+            # into ONE dispatch (_compact_core)
+            rows_packed = _compact_fn(
+                out_bucket, self.k, blk, m_task, m_ann, c_bucket, s_bucket,
+                self.top,
+            )(
+                combined, put(dst), put(srcb), put(exe), put(ann_s),
+                put(ann_e), put(st), self.params, total_res, put(tl),
+                put(al),
+            )
+        else:
+            tape, cand, scores = _dense_fn(
+                out_bucket, self.k, blk, m_task, m_ann
+            )(
+                combined, put(dst), put(srcb), put(exe), put(ann_s),
+                put(ann_e), self.params, total_res, put(tl), put(al),
+            )
+            rows_packed = _rank_fn(
+                out_bucket, self.k, s_bucket, self.top, spb
+            )(tape, cand, scores, put(st))
         hap1_lens = [
             packed.spans[2 * i][2] - packed.spans[2 * i][1]
             for i in range(n_samples)
@@ -712,11 +936,12 @@ def write_device_neoantigen_reports(outdir, proband_names, programs, blob,
         )
 
         eng = ShardedNeoantigenEngine(blob, mesh, k, params=params, top=top)
-        buckets = shard_buckets(programs, chunks, mesh.devices.size)
+        buckets = shard_buckets(programs, chunks, mesh.devices.size, k=k,
+                                params=params)
     else:
         eng = DeviceNeoantigenEngine(blob, k, params=params, top=top,
                                      device=device)
-        buckets = run_buckets(programs, chunks)
+        buckets = run_buckets(programs, chunks, k=k, params=params)
     paths = []
 
     def write_rows(chunk, progs, rows):

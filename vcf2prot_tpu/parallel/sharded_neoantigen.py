@@ -63,15 +63,21 @@ def partition_pairs(programs, n_shards: int):
     return [sorted(s) for s in shards]
 
 
-def shard_buckets(programs, chunks, n_shards: int) -> Buckets:
+def shard_buckets(programs, chunks, n_shards: int, k: int = 9,
+                  params=None) -> Buckets:
     """Fold per-(chunk, shard) shape needs into one run-wide Buckets."""
     from ..downstream.device_resident import (
+        _chunk_concat_starts,
         _chunk_sample_starts,
+        cand_bound,
         count_spb,
+        dense_blk,
         rank_blk,
+        tile_slices,
     )
 
-    out = tasks = ann = samples = alt = spb = 1
+    out = tasks = ann = samples = alt = spb = cand = 1
+    m_task = m_ann = 1
     pooled = bool(programs) and all(p.pooled for p in programs)
     if pooled:
         alt = len(programs[0].alt)
@@ -87,46 +93,71 @@ def shard_buckets(programs, chunks, n_shards: int) -> Buckets:
             tasks = max(tasks, sum(p.n_tasks for p in sp))
             ann = max(ann, sum(len(p.annotations) for p in sp))
             samples = max(samples, len(pair_idxs))
+            cand = max(cand, cand_bound(sp, k))
             if not pooled:
                 alt = max(alt, sum(len(p.alt) for p in sp))
             shard_progs_all.append(sp)
-    blk = rank_blk(pad_to_bucket(out))
+    out_b = pad_to_bucket(out)
+    blk = rank_blk(out_b)
     for sp in shard_progs_all:
         spb = max(spb, count_spb(_chunk_sample_starts(sp), blk))
+    if params is not None:
+        dblk = dense_blk(out_b, params)
+        n_tiles = out_b // dblk
+        for sp in shard_progs_all:
+            dst_c, ann_c = _chunk_concat_starts(sp)
+            m_task = max(m_task, tile_slices(dst_c, dblk, n_tiles, k - 1)[1])
+            m_ann = max(m_ann, tile_slices(ann_c, dblk, n_tiles, 0)[1])
     return Buckets(
         *(pad_to_bucket(v) for v in (out, tasks, ann, samples, alt)),
         spb=spb,
+        cand=pad_to_bucket(cand),
+        m_task=pad_to_bucket(m_task),
+        m_ann=pad_to_bucket(m_ann),
     )
 
 
 def _sharded_chain(mesh, buckets: Buckets, k: int, blk: int, top: int,
-                   shared_alt: bool):
+                   shared_alt: bool, m_task: int, m_ann: int,
+                   c_bucket: int, compact: bool):
     import jax
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
+    from ..downstream.device_resident import _compact_core
     from ..utils.jaxcache import enable_persistent_cache
 
     enable_persistent_cache()
     key = (tuple(d.id for d in mesh.devices.flat), buckets, k, blk, top,
-           shared_alt)
+           shared_alt, m_task, m_ann, c_bucket, compact)
     if key in _FN_CACHE:
         return _FN_CACHE[key]
 
     def per_shard(blob, alt, dst, srcb, exe, ann_s, ann_e, starts,
-                  total_res, params):
+                  total_res, tile_lo, ann_lo, params):
         import jax.numpy as jnp
 
         combined = jnp.concatenate([blob, alt if shared_alt else alt[0]])
-        tape, cand, scores = _dense_core(
-            combined, dst[0], srcb[0], exe[0], ann_s[0], ann_e[0], params,
-            total_res[0], out_bucket=buckets.out, k=k, blk=blk,
-        )
-        vals, gpos, wins = _rank_core(
-            tape, cand, scores, starts[0],
-            out_bucket=buckets.out, k=k, s_bucket=buckets.samples, top=top,
-            spb=buckets.spb,
-        )
+        if compact:
+            vals, gpos, wins = _compact_core(
+                combined, dst[0], srcb[0], exe[0], ann_s[0], ann_e[0],
+                starts[0], params, total_res[0], tile_lo[0], ann_lo[0],
+                out_bucket=buckets.out, k=k, blk=blk, m_task=m_task,
+                m_ann=m_ann, c_bucket=c_bucket, s_bucket=buckets.samples,
+                top=top,
+            )
+        else:
+            tape, cand, scores = _dense_core(
+                combined, dst[0], srcb[0], exe[0], ann_s[0], ann_e[0],
+                params, total_res[0], tile_lo[0], ann_lo[0],
+                out_bucket=buckets.out, k=k, blk=blk, m_task=m_task,
+                m_ann=m_ann,
+            )
+            vals, gpos, wins = _rank_core(
+                tape, cand, scores, starts[0],
+                out_bucket=buckets.out, k=k, s_bucket=buckets.samples,
+                top=top, spb=buckets.spb,
+            )
         # one packed [1, S, top, 8+k] buffer per shard: the whole mesh's
         # results come back in ONE [D, ...] fetch (see _pack_rows)
         return _pack_rows(jnp, vals, gpos, wins)[None]
@@ -140,6 +171,7 @@ def _sharded_chain(mesh, buckets: Buckets, k: int, blk: int, top: int,
             P("dp", None), P("dp", None), P("dp", None),   # dst, srcb, exe
             P("dp", None), P("dp", None),          # ann starts / ends
             P("dp", None), P("dp"),                # sample starts, total_res
+            P("dp", None), P("dp", None),          # tile_lo, ann_lo
             P(),                                   # params: replicated
         ),
         out_specs=P("dp", None, None, None),
@@ -194,7 +226,8 @@ class ShardedNeoantigenEngine:
         # axis would silently truncate the shard arrays); callers sizing
         # buckets with shard_buckets() keep the one-compile property
         local = shard_buckets(
-            programs, [list(range(len(programs)))], n_shards
+            programs, [list(range(len(programs)))], n_shards,
+            k=self.k, params=self.params,
         )
         buckets = (
             local if buckets is None
@@ -235,12 +268,30 @@ class ShardedNeoantigenEngine:
             total_res[d] = p.total_res
             if not shared_alt:
                 alt[d, : len(p.alt)] = p.alt
+        from ..downstream.device_resident import (
+            tile_slices,
+            use_compact,
+        )
+
         blk = dense_blk(buckets.out, self.params)
+        n_tiles = buckets.out // blk
+        tl = np.zeros((D, n_tiles), np.int32)
+        alo = np.zeros((D, n_tiles), np.int32)
+        m_task, m_ann = buckets.m_task, buckets.m_ann
+        for d, p in enumerate(packed):
+            lo, m = tile_slices(p.dst, blk, n_tiles, self.k - 1)
+            tl[d], m_task = lo, max(m_task, pad_to_bucket(m))
+            lo2, m2 = tile_slices(ann[d][0], blk, n_tiles, 0)
+            alo[d], m_ann = lo2, max(m_ann, pad_to_bucket(m2))
+        m_task = min(m_task, buckets.tasks)
+        m_ann = min(m_ann, buckets.ann)
+        c_bucket = min(buckets.cand, buckets.out)
+        compact = use_compact(self.params, self.k, buckets.out, c_bucket)
         run = _sharded_chain(self.mesh, buckets, self.k, blk, self.top,
-                             shared_alt)
+                             shared_alt, m_task, m_ann, c_bucket, compact)
         rows_packed = run(
             jnp.asarray(self.blob.data), alt, dst, srcb, exe, ann_s, ann_e,
-            starts, total_res, self.params,
+            starts, total_res, tl, alo, self.params,
         )
         # decode metadata rides the handle's start/len slots, shaped
         # [(pair_idx, seg_start, hap1_len), ...] per shard
