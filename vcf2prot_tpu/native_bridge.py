@@ -92,7 +92,8 @@ def qc_to_flags(qc: QcConfig) -> int:
 def compile_cohort_native(vcf_path, ref_seqs: dict, blob: RefBlob,
                           qc: QcConfig, n_threads: int = 0,
                           collect_stats: bool = False,
-                          alt_pool=False, sample_subset=None):
+                          alt_pool=False, sample_subset=None,
+                          counters: dict = None):
     """Full native parse+compile.
 
     Returns ``(probands, [HaplotypeProgram x 2*n_samples], warnings)`` --
@@ -134,10 +135,15 @@ def compile_cohort_native(vcf_path, ref_seqs: dict, blob: RefBlob,
         alt_pool=pool_mode, sample_subset=subset_bytes,
     )
     if pool_mode:
-        probands, haps, warnings, pool_bytes = out
+        probands, haps, warnings, pool_bytes, native_counters = out
     else:
-        probands, haps, warnings = out
+        probands, haps, warnings, native_counters = out
         pool_bytes = None
+    if counters is not None:
+        # deterministic decode/compile work counters (mask_decodes,
+        # haplotypes): multi-host tests assert the work PARTITIONS across
+        # sample shards instead of asserting racy wall-clock ratios
+        counters.update(native_counters)
     pooled = pool_bytes is not None
     # shared per-cohort name table for the array-backed annotations and the
     # native array-writer (one blob, no per-record Python objects)
