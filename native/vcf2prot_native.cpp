@@ -289,21 +289,29 @@ size_t walk_sample_columns(string_view region, size_t n_samples,
     if (base[i] == '\t') ++s;
 #if defined(__x86_64__)
 carrier_walk:
+  // tab-only bit stepping (round 5): iterate ONLY the tab bits; a column's
+  // last ':' is recovered with one clz over the colon mask windowed to
+  // [prev_tab+1, tab), so per-column cost no longer scales with the number
+  // of ':' sub-fields (FORMAT columns carry several). Cross-block columns
+  // carry last_colon via the post-loop tail window.
   if (cpu_has_avx2()) {
     while (i + 32 <= n && s < n_samples) {
       uint32_t colons;
       uint32_t tabs = sep_masks_avx2(base + i, &colons);
-      uint32_t seps = tabs | colons;
-      while (seps) {
-        unsigned b = static_cast<unsigned>(__builtin_ctz(seps));
-        seps &= seps - 1;
-        if ((colons >> b) & 1u) {
-          last_colon = i + b;
-        } else {
-          flush(i + b);
-          if (s == n_samples) return s;
-        }
+      unsigned prev = 0;
+      while (tabs) {
+        unsigned b = static_cast<unsigned>(__builtin_ctz(tabs));
+        tabs &= tabs - 1;
+        uint32_t win = colons & static_cast<uint32_t>(
+            (((uint64_t)1 << b) - 1) & ~(((uint64_t)1 << prev) - 1));
+        if (win) last_colon = i + (31u - (unsigned)__builtin_clz(win));
+        flush(i + b);
+        if (s == n_samples) return s;
+        prev = b + 1;
       }
+      uint32_t tail = colons & static_cast<uint32_t>(
+          ~(((uint64_t)1 << prev) - 1));
+      if (tail) last_colon = i + (31u - (unsigned)__builtin_clz(tail));
       i += 32;
     }
   }
