@@ -187,6 +187,34 @@ def main():
           f"({N_SAMPLES / t_full:.0f} samples/s; whole-chain MFU "
           f"{mfu(flops, t_full) * 100:.1f}%)", flush=True)
 
+    # compacted chain (wide heads): the fused mask+compact+score+rank
+    # dispatch, compared against the dense+rank sum on the same chunk
+    c_bucket = min(out_bucket, pad_to_bucket(max(
+        dr.cand_bound(programs, K), 1)))
+    if (os.environ.get("NEO_COMPACT", "1") == "1"
+            and c_bucket * 4 <= out_bucket and K <= 13):
+        compact = dr._compact_fn(
+            out_bucket, K, blk, m_task, m_ann, c_bucket, s_bucket, 200
+        )
+        args_c = (combined, put(dst), put(srcb), put(exe), put(ann_s),
+                  put(ann_e), put(st), params, np.int32(packed.total_res),
+                  put(tl), put(al))
+        t0 = time.perf_counter()
+        sync1(compact(*args_c))
+        print(f"compact chain cold: {time.perf_counter() - t0:.1f}s",
+              flush=True)
+        t_comp = best(lambda: sync1(compact(*args_c)))
+        c_flops = dense_pass_flops(c_bucket, params)
+        print(
+            f"compact chain (mask+sort+gather+score+rank, one dispatch) "
+            f"incl sync: {t_comp * 1e3:.0f} ms -> vs dense+rank "
+            f"{(t_dense + t_rank - t_sync) * 1e3:.0f} ms "
+            f"({(t_dense + t_rank - t_sync) / t_comp:.2f}x); candidate "
+            f"bucket {c_bucket} = {c_bucket / out_bucket:.1%} of lanes, "
+            f"scored-FLOP MFU {mfu(c_flops, max(t_comp - t_sync, 1e-9)) * 100:.1f}%",
+            flush=True,
+        )
+
 
 if __name__ == "__main__":
     main()

@@ -37,15 +37,25 @@ per-byte binary search:
   j is valid iff j+k <= span_end[j] (spans tile the tape).
 * mutated-window range query: prefix-sum the alt mask once; the in-window
   count is a SHIFTED-SLICE difference (pad + slice), not an indexed gather.
-* scoring runs on ALL tape positions (windows are k shifted slices of the
-  tape -- no candidate compaction, no data-dependent host sync, no
-  per-chunk shape recompiles); invalid windows score NEG. The folded one-hot
-  head (scoring.score_windows) makes this one big MXU matmul, chunked by
-  lax.map to bound intermediates.
-* per-sample top-k: one stable lexicographic sort by (sample_id asc, score
-  desc); rows [seg_start[s], seg_start[s]+top) are the answer. Ties keep
-  ascending tape position (stable sort over position-ordered input),
-  matching the host path's stable argsort tie order.
+* the whole dense pass is TILED (round 5): one ``lax.map`` streams the tape
+  in ``blk``-lane tiles, each rebuilding its expansions from a sliced task
+  range (host-computed slice table) + precomputed carries and scoring its
+  windows immediately -- nothing of size ``[out, k]`` or full-length int32
+  is materialized, so cost stays linear in chunk size (measured 0.95-1.00x
+  deviation from linear across 2^25-2^28 lanes,
+  automation_scripts/artifacts/dense_scaling_sweep.tsv).
+* scaffold-width heads score ALL tape positions (invalid windows -> NEG; no
+  data-dependent host sync, no per-chunk shape recompiles); WIDE heads take
+  the compacted path (:func:`_compact_core`): candidates to the front of a
+  1-key position sort, a static host-bounded candidate bucket scored via a
+  4-word-aligned window gather. The folded one-hot head
+  (scoring.score_windows) makes scoring one big MXU matmul per tile.
+* per-sample top-k: SEGMENTED (round 5): per-block stable sorts + per-
+  (block, sample) top-``top`` pruning + a small global sort
+  (:func:`_rank_segmented`; 1.4-2.0x the global sort, sub-linear scaling),
+  falling back to one stable lexicographic sort by (sample_id asc, score
+  desc) for small buckets. Ties keep ascending tape position in both
+  paths, matching the host path's stable argsort tie order.
 """
 from __future__ import annotations
 
