@@ -196,6 +196,33 @@ def main():
             dense_fns["dense_tiled"] = (
                 dr._dense_fn(out_bucket, K, blk, m_task, m_ann), args_d
             )
+        if "aligned" in MODES and dr.use_aligned_dense(
+            out_bucket, int(combined.shape[0])
+        ):
+            ws, wb, bp, bs, wlo, blo, mw, mb = dr.aligned_dense_inputs(
+                packed.dst, packed.src_biased, packed.total_res,
+                int(combined.shape[0]), blk, n_tiles, K,
+            )
+            m_w = min(task_bucket, pad_to_bucket(mw))
+            b_bucket = pad_to_bucket(max(len(bp), 1))
+            m_b = min(b_bucket, pad_to_bucket(mb))
+            ws_p = np.full(task_bucket, imax, np.int32)
+            ws_p[: len(ws)] = ws
+            wb_p = np.zeros(task_bucket, np.int32)
+            wb_p[: len(wb)] = wb
+            bp_p = np.full(b_bucket, imax, np.int32)
+            bp_p[: len(bp)] = bp
+            bs_p = np.zeros(b_bucket, np.int32)
+            bs_p[: len(bs)] = bs
+            dense_fns["dense_aligned"] = (
+                dr._dense_fn_aligned(out_bucket, K, blk, m_task, m_ann,
+                                     m_w, m_b),
+                args_d + (put(ws_p), put(wb_p), put(bp_p), put(bs_p),
+                          put(wlo), put(blo)),
+            )
+            log(f"aligned: {len(bp)} boundary bytes "
+                f"({len(bp) / max(packed.total_res, 1):.1%}), m_w {m_w}, "
+                f"m_b {m_b}")
         if "legacy" in MODES:
             dense_fns["dense_legacy"] = (
                 _legacy_dense_fn(out_bucket, K, blk), args_leg

@@ -93,6 +93,26 @@ def test_compact_reports_match_dense(tmp_path, monkeypatch):
             )
 
 
+@pytest.mark.parametrize("k", [8, 9, 13])
+def test_aligned_dense_matches_byte_dense(k, monkeypatch):
+    """The word-aligned execute inside the tiled dense pass must produce
+    byte-identical tapes, hence identical rows, vs the per-byte gather."""
+    _names, progs, blob = build_cohort(seed=21, n_samples=4)
+    params = init_params(k)
+    monkeypatch.setenv("VCF2PROT_ALIGNED_DENSE", "1")
+    rows_a = DeviceNeoantigenEngine(
+        blob, k, params=params, top=60
+    ).run_chunk(progs)
+    monkeypatch.setenv("VCF2PROT_ALIGNED_DENSE", "0")
+    rows_b = DeviceNeoantigenEngine(
+        blob, k, params=params, top=60
+    ).run_chunk(progs)
+    host_rows = _host_chunk_rows(progs, blob, k, params, 60)
+    assert any(len(r) > 0 for r in rows_a.values())
+    _assert_rows_match(rows_a, rows_b)
+    _assert_rows_match(rows_a, host_rows)
+
+
 def test_compact_sharded_matches_host(monkeypatch):
     """The dp-sharded chain's compact branch must equal the host oracle."""
     import jax

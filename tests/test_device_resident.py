@@ -163,9 +163,8 @@ def test_multi_chunk_run_presents_one_shape_set(tmp_path, monkeypatch):
     import jax.tree_util as jtu
 
     names, progs, blob = build_cohort(seed=11, n_samples=4)
-    shapes = {"dense": set(), "rank": set()}
-    real_dense = device_resident._dense_fn
-    real_rank = device_resident._rank_fn
+    shapes = {"dense": set(), "aligned": set(), "compact": set(),
+              "rank": set()}
 
     def spy(factory, key):
         def make(*fargs):
@@ -181,12 +180,20 @@ def test_multi_chunk_run_presents_one_shape_set(tmp_path, monkeypatch):
 
         return make
 
-    monkeypatch.setattr(device_resident, "_dense_fn", spy(real_dense, "dense"))
-    monkeypatch.setattr(device_resident, "_rank_fn", spy(real_rank, "rank"))
+    for attr, key in (("_dense_fn", "dense"),
+                      ("_dense_fn_aligned", "aligned"),
+                      ("_compact_fn", "compact"),
+                      ("_rank_fn", "rank")):
+        monkeypatch.setattr(
+            device_resident, attr, spy(getattr(device_resident, attr), key)
+        )
     write_device_neoantigen_reports(
         str(tmp_path), names, progs, blob, 9, chunk_res_bytes=1
     )
-    assert len(shapes["dense"]) == 1, shapes["dense"]
+    # exactly ONE execute-path shape set across all chunks, whichever
+    # gated path (byte, aligned, compact) the run takes
+    exec_shapes = shapes["dense"] | shapes["aligned"] | shapes["compact"]
+    assert len(exec_shapes) == 1, exec_shapes
     assert len(shapes["rank"]) == 1, shapes["rank"]
 
 

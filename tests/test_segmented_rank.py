@@ -33,7 +33,7 @@ def test_rank_blk_env(monkeypatch):
     assert rank_blk(1 << 20) == 512  # floored to a power of two
     assert rank_blk(256) == 256  # clipped to the bucket
     monkeypatch.delenv("VCF2PROT_RANK_BLK")
-    assert rank_blk(1 << 20) == 1 << 15
+    assert rank_blk(1 << 20) == 1 << 16
 
 
 def test_gate():

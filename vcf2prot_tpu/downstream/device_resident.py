@@ -73,10 +73,16 @@ NEG = np.float32(-np.inf)
 
 
 def dense_blk(out_bucket: int, params: dict) -> int:
-    """lax.map block size for the dense scoring pass, scaled so the widest
-    fp32 hidden activation [blk, H] stays ~256 MB regardless of head width
+    """lax.map tile size for the dense pass, scaled so the widest fp32
+    hidden activation [blk, H] stays ~256 MB regardless of head width
     (wide heads at the round-3 fixed 1<<19 block would materialize
-    multi-GB intermediates)."""
+    multi-GB intermediates). VCF2PROT_DENSE_BLK caps it for tuning."""
+    import os
+
+    env = os.environ.get("VCF2PROT_DENSE_BLK")
+    if env:  # explicit override for tuning runs
+        blk = 1 << (max(int(env), 1).bit_length() - 1)
+        return min(out_bucket, max(blk, 1 << 13))
     width = max(
         (params[name].shape[1] for name in layer_names(params)), default=128
     )
@@ -137,8 +143,9 @@ def tile_slices(starts, blk: int, n_tiles: int, overlap: int):
 
 
 def _dense_core(combined, dst, srcb, exe, ann_starts, ann_ends, params,
-                total_res, tile_lo, ann_lo, *, out_bucket: int, k: int,
-                blk: int, m_task: int, m_ann: int, score: bool = True):
+                total_res, tile_lo, ann_lo, aligned=None, *,
+                out_bucket: int, k: int, blk: int, m_task: int, m_ann: int,
+                m_w: int = 0, m_b: int = 0, score: bool = True):
     """Execute + masks + dense scoring over one chunk, all static-shaped.
 
     Scores EVERY tape position (invalid windows -> NEG): scoring the ~10x
@@ -168,7 +175,24 @@ def _dense_core(combined, dst, srcb, exe, ann_starts, ann_ends, params,
 
     n_tiles = out_bucket // blk
     L = blk + k - 1
-    delta_base, carry_base = _tile_deltas(jnp, srcb - dst, dst, blk, n_tiles)
+    if aligned is None:
+        delta_base, carry_base = _tile_deltas(
+            jnp, srcb - dst, dst, blk, n_tiles
+        )
+    else:
+        # word-aligned execute (the FASTA executor's aligned32 formulation,
+        # tiled): word-granularity delta expansion + two aligned u32 loads
+        # per output word + a small per-tile boundary-byte fix-up -- ~2x
+        # fewer gather lanes than the per-byte execute (tpu_engine.py,
+        # build_aligned_program)
+        wstart, wbase, bpos, bsrc, wtile_lo, btile_lo = aligned
+        blk_w = blk // 4
+        Lw = (L + 3) // 4
+        delta_w, carry_w = _tile_deltas(jnp, wbase, wstart, blk_w, n_tiles)
+        cw = jax.lax.bitcast_convert_type(
+            combined[: (combined.shape[0] // 4) * 4].reshape(-1, 4),
+            jnp.uint32,
+        ).reshape(-1)
     delta_exe, carry_exe = _tile_deltas(jnp, exe, dst, blk, n_tiles)
     delta_span, carry_span = _tile_deltas(
         jnp, ann_ends, ann_starts, blk, n_tiles
@@ -188,15 +212,40 @@ def _dense_core(combined, dst, srcb, exe, ann_starts, ann_ends, params,
         a = t * blk
         lo = tile_lo[t]
         d_s = jax.lax.dynamic_slice(dst, (lo,), (m_task,))
-        db_s = jax.lax.dynamic_slice(delta_base, (lo,), (m_task,))
         de_s = jax.lax.dynamic_slice(delta_exe, (lo,), (m_task,))
         al = ann_lo[t]
         as_s = jax.lax.dynamic_slice(ann_starts, (al,), (m_ann,))
         ds_s = jax.lax.dynamic_slice(delta_span, (al,), (m_ann,))
-        base = expand_local(a, db_s, d_s, carry_base[t], L)
         jg = a + jnp.arange(L, dtype=jnp.int32)
-        g = jnp.clip(base + jg, 0, combined.shape[0] - 1)
-        tape_seg = jnp.take(combined, g)
+        if aligned is None:
+            db_s = jax.lax.dynamic_slice(delta_base, (lo,), (m_task,))
+            base = expand_local(a, db_s, d_s, carry_base[t], L)
+            g = jnp.clip(base + jg, 0, combined.shape[0] - 1)
+            tape_seg = jnp.take(combined, g)
+        else:
+            aw = t * blk_w
+            wlo = wtile_lo[t]
+            ws_s = jax.lax.dynamic_slice(wstart, (wlo,), (m_w,))
+            wd_s = jax.lax.dynamic_slice(delta_w, (wlo,), (m_w,))
+            base_w = expand_local(aw, wd_s, ws_s, carry_w[t], Lw)
+            jw = (aw + jnp.arange(Lw, dtype=jnp.int32)) * 4
+            g = jnp.clip(base_w + jw, 0, combined.shape[0] - 8)
+            gi = g >> 2
+            w0 = cw[gi]
+            w1 = cw[gi + 1]
+            sh = ((g & 3) * 8).astype(jnp.uint32)
+            words = jnp.where(sh == 0, w0, (w0 >> sh) | (w1 << (32 - sh)))
+            seg = jax.lax.bitcast_convert_type(
+                words[:, None], jnp.uint8
+            ).reshape(-1)[:L]
+            blo = btile_lo[t]
+            bp_s = jax.lax.dynamic_slice(bpos, (blo,), (m_b,))
+            bs_s = jax.lax.dynamic_slice(bsrc, (blo,), (m_b,))
+            bidx = jnp.where((bp_s >= a) & (bp_s < a + L), bp_s - a, L)
+            bvals = jnp.take(
+                combined, jnp.clip(bs_s, 0, combined.shape[0] - 1)
+            )
+            tape_seg = seg.at[bidx].set(bvals, mode="drop")
         is_alt = expand_local(a, de_s, d_s, carry_exe[t], L)
         alt = (is_alt > 0) & (tape_seg != ord(".")) & (jg < total_res)
         # mutated-window range query: local prefix sum over the
@@ -265,10 +314,12 @@ def _decode_rows(vals, gpos, wins, seg_start: int, hap1_len: int):
 
 def rank_blk(out_bucket: int) -> int:
     """Block size for the segmented rank sort (power of two, divides the
-    power-of-two ``out_bucket``); env-tunable for measurement."""
+    power-of-two ``out_bucket``); env-tunable for measurement. Default
+    2^16 per the round-5 device sweep at 2^27 lanes (543/412/370/386 ms
+    for 2^14/2^15/2^16/2^17)."""
     import os
 
-    b = int(os.environ.get("VCF2PROT_RANK_BLK", str(1 << 15)))
+    b = int(os.environ.get("VCF2PROT_RANK_BLK", str(1 << 16)))
     b = 1 << (max(b, 1).bit_length() - 1)
     return min(out_bucket, b)
 
@@ -564,6 +615,30 @@ def _dense_fn(out_bucket: int, k: int, blk: int, m_task: int, m_ann: int):
 
 
 @functools.lru_cache(maxsize=32)
+def _dense_fn_aligned(out_bucket: int, k: int, blk: int, m_task: int,
+                      m_ann: int, m_w: int, m_b: int):
+    import jax
+
+    from ..utils.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    @jax.jit
+    def run(combined, dst, srcb, exe, ann_starts, ann_ends, params,
+            total_res, tile_lo, ann_lo, wstart, wbase, bpos, bsrc,
+            wtile_lo, btile_lo):
+        return _dense_core(
+            combined, dst, srcb, exe, ann_starts, ann_ends, params,
+            total_res, tile_lo, ann_lo,
+            aligned=(wstart, wbase, bpos, bsrc, wtile_lo, btile_lo),
+            out_bucket=out_bucket, k=k, blk=blk, m_task=m_task,
+            m_ann=m_ann, m_w=m_w, m_b=m_b,
+        )
+
+    return run
+
+
+@functools.lru_cache(maxsize=32)
 def _rank_fn(out_bucket: int, k: int, s_bucket: int, top: int,
              spb: int = 0):
     import jax
@@ -638,6 +713,9 @@ class Buckets(NamedTuple):
     cand: int = 1  # candidate-window bound (cand_bound, run-wide max)
     m_task: int = 1  # per-tile task slice cap (tile_slices, run-wide max)
     m_ann: int = 1   # per-tile annotation slice cap
+    bpos: int = 1    # aligned-execute boundary-byte list length
+    m_w: int = 1     # per-tile word-task slice cap (aligned execute)
+    m_b: int = 1     # per-tile boundary-byte slice cap (aligned execute)
 
 
 def _chunk_sample_starts(progs):
@@ -670,12 +748,47 @@ def _chunk_concat_starts(progs):
     )
 
 
-def run_buckets(programs, chunks, k: int = 9, params=None) -> Buckets:
+def use_aligned_dense(out_bucket: int, combined_len: int) -> bool:
+    """Gate for the word-aligned execute inside the tiled dense pass:
+    shares the FASTA executor's preconditions (use_aligned_exec) plus its
+    own opt-out."""
+    import os
+
+    from ..runtime.tpu_engine import use_aligned_exec
+
+    return (
+        os.environ.get("VCF2PROT_ALIGNED_DENSE", "1") != "0"
+        and use_aligned_exec(np.int32, out_bucket, combined_len)
+    )
+
+
+def aligned_dense_inputs(dst, src_biased, total_res: int, combined_len: int,
+                         blk: int, n_tiles: int, k: int):
+    """Host-side aligned-execute inputs for one chunk: the word program
+    (build_aligned_program) plus per-tile slice tables and caps. Returns
+    ``(ws, wb, bp, bs, wlo, blo, m_w, m_b)`` with unpadded arrays."""
+    from ..runtime.tpu_engine import build_aligned_program
+
+    ws, wb, bp, bs = build_aligned_program(
+        dst, src_biased, total_res, combined_len
+    )
+    L = blk + k - 1
+    blk_w = blk // 4
+    Lw = (L + 3) // 4
+    wlo, m_w = tile_slices(ws, blk_w, n_tiles, Lw - blk_w)
+    blo, m_b = tile_slices(bp, blk, n_tiles, k - 1)
+    return (ws, wb, bp.astype(np.int32), bs.astype(np.int32), wlo, blo,
+            m_w, m_b)
+
+
+def run_buckets(programs, chunks, k: int = 9, params=None,
+                blob=None) -> Buckets:
     """Fold per-chunk shape needs into one run-wide Buckets. ``params``
     (the scoring head) sizes the dense tile width, letting the per-tile
-    task/annotation slice caps fold run-wide too; without it the caps
-    default and each chunk sizes its own (same shapes when chunks are
-    homogeneous)."""
+    task/annotation slice caps fold run-wide too; ``blob`` additionally
+    lets the aligned-execute word program's shapes fold (a per-chunk pack,
+    exactly what dispatch will build). Without them the caps default and
+    each chunk sizes its own (same shapes when chunks are homogeneous)."""
     out = tasks = ann = samples = alt = spb = cand = 1
     m_task = m_ann = 1
     pooled = bool(programs) and all(p.pooled for p in programs)
@@ -699,6 +812,7 @@ def run_buckets(programs, chunks, k: int = 9, params=None) -> Buckets:
     blk = rank_blk(out_b)
     for starts in starts_per_chunk:
         spb = max(spb, count_spb(starts, blk))
+    bpos = m_w = m_b = 1
     if params is not None:
         dblk = dense_blk(out_b, params)
         n_tiles = out_b // dblk
@@ -707,12 +821,39 @@ def run_buckets(programs, chunks, k: int = 9, params=None) -> Buckets:
             dst_c, ann_c = _chunk_concat_starts(progs)
             m_task = max(m_task, tile_slices(dst_c, dblk, n_tiles, k - 1)[1])
             m_ann = max(m_ann, tile_slices(ann_c, dblk, n_tiles, 0)[1])
+        if blob is not None:
+            # fold the aligned-execute word-program shapes with the exact
+            # inputs dispatch will use (combined_len is constant run-wide:
+            # blob + the folded alt bucket)
+            combined_len = len(blob.data) + pad_to_bucket(alt)
+            if use_aligned_dense(out_b, combined_len):
+                from ..runtime.pack import pack_cohort
+
+                for chunk in chunks:
+                    progs = [programs[i] for i in chunk]
+                    packed = pack_cohort(progs, blob)
+                    if (not packed.contiguous
+                            or packed.dst.dtype != np.int32):
+                        continue
+                    _ws, _wb, bp, _bs, _wlo, _blo, mw, mb = (
+                        aligned_dense_inputs(
+                            packed.dst, packed.src_biased,
+                            packed.total_res, combined_len, dblk,
+                            n_tiles, k,
+                        )
+                    )
+                    bpos = max(bpos, len(bp))
+                    m_w = max(m_w, mw)
+                    m_b = max(m_b, mb)
     return Buckets(
         *(pad_to_bucket(v) for v in (out, tasks, ann, samples, alt)),
         spb=spb,
         cand=pad_to_bucket(cand),
         m_task=pad_to_bucket(m_task),
         m_ann=pad_to_bucket(m_ann),
+        bpos=pad_to_bucket(bpos),
+        m_w=pad_to_bucket(m_w),
+        m_b=pad_to_bucket(m_b),
     )
 
 
@@ -880,6 +1021,38 @@ class DeviceNeoantigenEngine:
                 put(ann_e), put(st), self.params, total_res, put(tl),
                 put(al),
             )
+        elif use_aligned_dense(out_bucket, int(combined.shape[0])):
+            # word-aligned execute inside the tiled dense pass: the word
+            # program + its per-tile slice tables ride extra inputs
+            ws, wb, bp, bs, wlo, blo, mw, mb = aligned_dense_inputs(
+                packed.dst, packed.src_biased, packed.total_res,
+                int(combined.shape[0]), blk, n_tiles, self.k,
+            )
+            m_w = min(task_bucket, max(
+                pad_to_bucket(mw), buckets.m_w if buckets else 1))
+            b_bucket = max(pad_to_bucket(max(len(bp), 1)),
+                           buckets.bpos if buckets else 1)
+            m_b = min(b_bucket, max(
+                pad_to_bucket(mb), buckets.m_b if buckets else 1))
+            ws_p = np.full(task_bucket, imax, np.int32)
+            ws_p[: len(ws)] = ws
+            wb_p = np.zeros(task_bucket, np.int32)
+            wb_p[: len(wb)] = wb
+            bp_p = np.full(b_bucket, imax, np.int32)
+            bp_p[: len(bp)] = bp
+            bs_p = np.zeros(b_bucket, np.int32)
+            bs_p[: len(bs)] = bs
+            tape, cand, scores = _dense_fn_aligned(
+                out_bucket, self.k, blk, m_task, m_ann, m_w, m_b
+            )(
+                combined, put(dst), put(srcb), put(exe), put(ann_s),
+                put(ann_e), self.params, total_res, put(tl), put(al),
+                put(ws_p), put(wb_p), put(bp_p), put(bs_p), put(wlo),
+                put(blo),
+            )
+            rows_packed = _rank_fn(
+                out_bucket, self.k, s_bucket, self.top, spb
+            )(tape, cand, scores, put(st))
         else:
             tape, cand, scores = _dense_fn(
                 out_bucket, self.k, blk, m_task, m_ann
@@ -951,7 +1124,8 @@ def write_device_neoantigen_reports(outdir, proband_names, programs, blob,
     else:
         eng = DeviceNeoantigenEngine(blob, k, params=params, top=top,
                                      device=device)
-        buckets = run_buckets(programs, chunks, k=k, params=params)
+        buckets = run_buckets(programs, chunks, k=k, params=params,
+                              blob=blob)
     paths = []
 
     def write_rows(chunk, progs, rows):
