@@ -1120,7 +1120,7 @@ def write_device_neoantigen_reports(outdir, proband_names, programs, blob,
 
         eng = ShardedNeoantigenEngine(blob, mesh, k, params=params, top=top)
         buckets = shard_buckets(programs, chunks, mesh.devices.size, k=k,
-                                params=params)
+                                params=params, blob=blob)
     else:
         eng = DeviceNeoantigenEngine(blob, k, params=params, top=top,
                                      device=device)

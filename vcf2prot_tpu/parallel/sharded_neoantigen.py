@@ -64,7 +64,7 @@ def partition_pairs(programs, n_shards: int):
 
 
 def shard_buckets(programs, chunks, n_shards: int, k: int = 9,
-                  params=None) -> Buckets:
+                  params=None, blob=None) -> Buckets:
     """Fold per-(chunk, shard) shape needs into one run-wide Buckets."""
     from ..downstream.device_resident import (
         _chunk_concat_starts,
@@ -101,6 +101,7 @@ def shard_buckets(programs, chunks, n_shards: int, k: int = 9,
     blk = rank_blk(out_b)
     for sp in shard_progs_all:
         spb = max(spb, count_spb(_chunk_sample_starts(sp), blk))
+    bpos = m_w = m_b = 1
     if params is not None:
         dblk = dense_blk(out_b, params)
         n_tiles = out_b // dblk
@@ -108,18 +109,48 @@ def shard_buckets(programs, chunks, n_shards: int, k: int = 9,
             dst_c, ann_c = _chunk_concat_starts(sp)
             m_task = max(m_task, tile_slices(dst_c, dblk, n_tiles, k - 1)[1])
             m_ann = max(m_ann, tile_slices(ann_c, dblk, n_tiles, 0)[1])
+        if blob is not None:
+            from ..downstream.device_resident import (
+                aligned_dense_inputs,
+                use_aligned_dense,
+            )
+
+            combined_len = len(blob.data) + (
+                pad_to_bucket(max(alt, 1)) if not pooled
+                else pad_to_bucket(max(len(programs[0].alt), 1))
+            )
+            if use_aligned_dense(out_b, combined_len):
+                for sp in shard_progs_all:
+                    packed = pack_cohort(sp, blob)
+                    if (not packed.contiguous
+                            or packed.dst.dtype != np.int32):
+                        continue
+                    _w1, _w2, bp, _b2, _l1, _l2, mw, mb = (
+                        aligned_dense_inputs(
+                            packed.dst, packed.src_biased,
+                            packed.total_res, combined_len, dblk,
+                            n_tiles, k,
+                        )
+                    )
+                    bpos = max(bpos, len(bp))
+                    m_w = max(m_w, mw)
+                    m_b = max(m_b, mb)
     return Buckets(
         *(pad_to_bucket(v) for v in (out, tasks, ann, samples, alt)),
         spb=spb,
         cand=pad_to_bucket(cand),
         m_task=pad_to_bucket(m_task),
         m_ann=pad_to_bucket(m_ann),
+        bpos=pad_to_bucket(bpos),
+        m_w=pad_to_bucket(m_w),
+        m_b=pad_to_bucket(m_b),
     )
 
 
 def _sharded_chain(mesh, buckets: Buckets, k: int, blk: int, top: int,
                    shared_alt: bool, m_task: int, m_ann: int,
-                   c_bucket: int, compact: bool):
+                   c_bucket: int, compact: bool, aligned: bool,
+                   m_w: int, m_b: int):
     import jax
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
@@ -129,15 +160,20 @@ def _sharded_chain(mesh, buckets: Buckets, k: int, blk: int, top: int,
 
     enable_persistent_cache()
     key = (tuple(d.id for d in mesh.devices.flat), buckets, k, blk, top,
-           shared_alt, m_task, m_ann, c_bucket, compact)
+           shared_alt, m_task, m_ann, c_bucket, compact, aligned, m_w, m_b)
     if key in _FN_CACHE:
         return _FN_CACHE[key]
 
     def per_shard(blob, alt, dst, srcb, exe, ann_s, ann_e, starts,
-                  total_res, tile_lo, ann_lo, params):
+                  total_res, tile_lo, ann_lo, ws, wb, bp, bs, wlo, blo,
+                  params):
         import jax.numpy as jnp
 
         combined = jnp.concatenate([blob, alt if shared_alt else alt[0]])
+        al_args = (
+            (ws[0], wb[0], bp[0], bs[0], wlo[0], blo[0]) if aligned
+            else None
+        )
         if compact:
             vals, gpos, wins = _compact_core(
                 combined, dst[0], srcb[0], exe[0], ann_s[0], ann_e[0],
@@ -149,9 +185,9 @@ def _sharded_chain(mesh, buckets: Buckets, k: int, blk: int, top: int,
         else:
             tape, cand, scores = _dense_core(
                 combined, dst[0], srcb[0], exe[0], ann_s[0], ann_e[0],
-                params, total_res[0], tile_lo[0], ann_lo[0],
+                params, total_res[0], tile_lo[0], ann_lo[0], al_args,
                 out_bucket=buckets.out, k=k, blk=blk, m_task=m_task,
-                m_ann=m_ann,
+                m_ann=m_ann, m_w=m_w, m_b=m_b,
             )
             vals, gpos, wins = _rank_core(
                 tape, cand, scores, starts[0],
@@ -172,6 +208,9 @@ def _sharded_chain(mesh, buckets: Buckets, k: int, blk: int, top: int,
             P("dp", None), P("dp", None),          # ann starts / ends
             P("dp", None), P("dp"),                # sample starts, total_res
             P("dp", None), P("dp", None),          # tile_lo, ann_lo
+            P("dp", None), P("dp", None),          # wstart, wbase
+            P("dp", None), P("dp", None),          # bpos, bsrc
+            P("dp", None), P("dp", None),          # wtile_lo, btile_lo
             P(),                                   # params: replicated
         ),
         out_specs=P("dp", None, None, None),
@@ -227,7 +266,7 @@ class ShardedNeoantigenEngine:
         # buckets with shard_buckets() keep the one-compile property
         local = shard_buckets(
             programs, [list(range(len(programs)))], n_shards,
-            k=self.k, params=self.params,
+            k=self.k, params=self.params, blob=self.blob,
         )
         buckets = (
             local if buckets is None
@@ -269,7 +308,9 @@ class ShardedNeoantigenEngine:
             if not shared_alt:
                 alt[d, : len(p.alt)] = p.alt
         from ..downstream.device_resident import (
+            aligned_dense_inputs,
             tile_slices,
+            use_aligned_dense,
             use_compact,
         )
 
@@ -287,11 +328,55 @@ class ShardedNeoantigenEngine:
         m_ann = min(m_ann, buckets.ann)
         c_bucket = min(buckets.cand, buckets.out)
         compact = use_compact(self.params, self.k, buckets.out, c_bucket)
+        combined_len = blob_len + (
+            alt.shape[0] if shared_alt else alt.shape[1]
+        )
+        aligned = (not compact) and use_aligned_dense(
+            buckets.out, combined_len
+        )
+        if aligned:
+            m_w, m_b = buckets.m_w, buckets.m_b
+            b_bucket = buckets.bpos
+            progs_a = []
+            for p in packed:
+                ai = aligned_dense_inputs(
+                    p.dst, p.src_biased, p.total_res, combined_len, blk,
+                    n_tiles, self.k,
+                )
+                progs_a.append(ai)
+                m_w = max(m_w, pad_to_bucket(ai[6]))
+                m_b = max(m_b, pad_to_bucket(ai[7]))
+                b_bucket = max(b_bucket, pad_to_bucket(max(len(ai[2]), 1)))
+            m_w = min(m_w, buckets.tasks)
+            m_b = min(m_b, b_bucket)
+            imax32 = np.iinfo(np.int32).max
+            ws = np.full((D, buckets.tasks), imax32, np.int32)
+            wb = np.zeros((D, buckets.tasks), np.int32)
+            bp = np.full((D, b_bucket), imax32, np.int32)
+            bs = np.zeros((D, b_bucket), np.int32)
+            wlo = np.zeros((D, n_tiles), np.int32)
+            blo = np.zeros((D, n_tiles), np.int32)
+            for d, (aws, awb, abp, abs_, awlo, ablo, _m1, _m2) in enumerate(
+                progs_a
+            ):
+                ws[d, : len(aws)] = aws
+                wb[d, : len(awb)] = awb
+                bp[d, : len(abp)] = abp
+                bs[d, : len(abs_)] = abs_
+                wlo[d] = awlo
+                blo[d] = ablo
+        else:
+            m_w = m_b = 1
+            ws = wb = np.zeros((D, 1), np.int32)
+            bp = bs = np.zeros((D, 1), np.int32)
+            wlo = blo = np.zeros((D, 1), np.int32)
         run = _sharded_chain(self.mesh, buckets, self.k, blk, self.top,
-                             shared_alt, m_task, m_ann, c_bucket, compact)
+                             shared_alt, m_task, m_ann, c_bucket, compact,
+                             aligned, m_w, m_b)
         rows_packed = run(
             jnp.asarray(self.blob.data), alt, dst, srcb, exe, ann_s, ann_e,
-            starts, total_res, tl, alo, self.params,
+            starts, total_res, tl, alo, ws, wb, bp, bs, wlo, blo,
+            self.params,
         )
         # decode metadata rides the handle's start/len slots, shaped
         # [(pair_idx, seg_start, hap1_len), ...] per shard
