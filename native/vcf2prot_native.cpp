@@ -3309,10 +3309,93 @@ PyObject* py_write_fasta_arrays(PyObject*, PyObject* args) {
   Py_RETURN_NONE;
 }
 
+// Word-aligned executor program for one packed chunk: the native twin of
+// runtime/tpu_engine.build_aligned_program's numpy oracle (tests pin array
+// equality). One O(tasks + boundary-bytes) pass -- no word-length
+// temporaries, so at north-star scale this costs ~30 ms where the numpy
+// form's 33M-word cover/cumsum/nonzero cost ~2 s per chunk (the host-side
+// overhead that ate the aligned kernel's device win in round 5).
+// Inputs: int32 dst + int32 src_biased (the engines gate the aligned path
+// on int32 packs), total_res, combined_len.
+// Returns (wstart i32[n], wbase i32[n], bpos i32[b], bsrc i32[b]) bytes.
+PyObject* py_build_aligned_program(PyObject*, PyObject* args) {
+  Py_buffer dst_b, src_b;
+  long long total_res, combined_len;
+  if (!PyArg_ParseTuple(args, "y*y*LL", &dst_b, &src_b, &total_res,
+                        &combined_len))
+    return nullptr;
+  bool ok = dst_b.len == src_b.len && dst_b.len % 4 == 0 && total_res >= 0;
+  const size_t n = ok ? (size_t)(dst_b.len / 4) : 0;
+  vector<int32_t> wstart(n), wbase(n), bpos, bsrc;
+  Py_BEGIN_ALLOW_THREADS try {
+    if (ok) {
+      const int32_t* d = static_cast<const int32_t*>(dst_b.buf);
+      const int32_t* s = static_cast<const int32_t*>(src_b.buf);
+      const int64_t nw = (total_res + 3) / 4;
+      size_t t = 0;  // covering-task pointer (bpos ascends; dst sorted)
+      auto emit = [&](int64_t w0, int64_t w1) {
+        for (int64_t w = w0; w < w1; ++w) {
+          for (int64_t b = 0; b < 4; ++b) {
+            int64_t pos = 4 * w + b;
+            if (pos >= total_res) return;
+            while (t + 1 < n && (int64_t)d[t + 1] <= pos) ++t;
+            bpos.push_back((int32_t)pos);
+            bsrc.push_back((int32_t)((int64_t)s[t] + pos - (int64_t)d[t]));
+          }
+        }
+      };
+      int64_t w = 0;  // next word not yet covered by a uniform interval
+      for (size_t i = 0; i < n; ++i) {
+        int64_t di = d[i];
+        int64_t end = i + 1 < n ? (int64_t)d[i + 1] : total_res;
+        wstart[i] = (int32_t)((di + 3) >> 2);
+        wbase[i] = (int32_t)((int64_t)s[i] - di);
+        int64_t wf = (di + 3) >> 2;
+        int64_t wl = end >> 2;
+        bool safe = (int64_t)s[i] + (end - di) <= combined_len - 8;
+        if (wl > wf && safe) {
+          if (wf > w) emit(w, wf < nw ? wf : nw);
+          if (wl > w) w = wl;
+        }
+      }
+      if (nw > w) emit(w, nw);
+    }
+  } catch (...) {
+    ok = false;
+  }
+  Py_END_ALLOW_THREADS;
+  PyBuffer_Release(&dst_b);
+  PyBuffer_Release(&src_b);
+  if (!ok) {
+    PyErr_SetString(PyExc_ValueError,
+                    "build_aligned_program: malformed int32 task arrays");
+    return nullptr;
+  }
+  PyObject* ws = bytes_from(wstart.data(), wstart.size() * 4);
+  PyObject* wb = bytes_from(wbase.data(), wbase.size() * 4);
+  PyObject* bp = bytes_from(bpos.data(), bpos.size() * 4);
+  PyObject* bs = bytes_from(bsrc.data(), bsrc.size() * 4);
+  if (!ws || !wb || !bp || !bs) {
+    Py_XDECREF(ws);
+    Py_XDECREF(wb);
+    Py_XDECREF(bp);
+    Py_XDECREF(bs);
+    return nullptr;
+  }
+  PyObject* tup = PyTuple_Pack(4, ws, wb, bp, bs);
+  Py_DECREF(ws);
+  Py_DECREF(wb);
+  Py_DECREF(bp);
+  Py_DECREF(bs);
+  return tup;
+}
+
 PyMethodDef methods[] = {
     {"compile_cohort", (PyCFunction)py_compile_cohort,
      METH_VARARGS | METH_KEYWORDS,
      "Parse a bcftools/csq VCF and compile per-haplotype task programs."},
+    {"build_aligned_program", py_build_aligned_program, METH_VARARGS,
+     "Word-aligned executor program (middle words + boundary bytes)."},
     {"collect_candidates", py_collect_candidates, METH_VARARGS,
      "neoantigen candidate windows of one executed haplotype"},
     {"execute_tasks", py_execute_tasks, METH_VARARGS,

@@ -264,3 +264,36 @@ def test_empty_transcript_name_matches_python(tmp_path):
         np.testing.assert_array_equal(
             execute_tasks(a, blob), execute_tasks(b, blob)
         )
+
+
+def test_native_build_aligned_program_matches_numpy():
+    """The native one-pass word-program builder must be array-equal to the
+    numpy oracle (runtime/tpu_engine.build_aligned_program's int64 body)
+    on real packed cohorts, including zero-length/coincident tasks and the
+    end-of-tape demotion rule."""
+    import numpy as np
+
+    from test_device_resident import build_cohort
+    from vcf2prot_tpu.native_bridge import load_native
+    from vcf2prot_tpu.runtime.pack import pack_cohort, pad_to_bucket
+    from vcf2prot_tpu.runtime.tpu_engine import build_aligned_program
+
+    if load_native() is None or not hasattr(
+        load_native(), "build_aligned_program"
+    ):
+        import pytest
+
+        pytest.skip("native module unavailable")
+    for seed in (3, 9, 21, 13):
+        _n, progs, blob = build_cohort(seed=seed, n_samples=4)
+        p = pack_cohort(progs, blob)
+        cl = len(blob.data) + pad_to_bucket(max(len(p.alt), 1))
+        nat = build_aligned_program(p.dst, p.src_biased, p.total_res, cl)
+        ora = build_aligned_program(
+            p.dst.astype(np.int64), p.src_biased.astype(np.int64),
+            p.total_res, cl,
+        )
+        for a, b in zip(nat, ora):
+            np.testing.assert_array_equal(
+                np.asarray(a, np.int64), np.asarray(b, np.int64)
+            )

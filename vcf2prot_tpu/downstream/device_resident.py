@@ -816,35 +816,38 @@ def run_buckets(programs, chunks, k: int = 9, params=None,
     if params is not None:
         dblk = dense_blk(out_b, params)
         n_tiles = out_b // dblk
+        # fold the aligned-execute word-program shapes with the exact
+        # inputs dispatch will use (combined_len is constant run-wide:
+        # blob + the folded alt bucket)
+        combined_len = (
+            len(blob.data) + pad_to_bucket(alt) if blob is not None else 0
+        )
+        fold_aligned = blob is not None and use_aligned_dense(
+            out_b, combined_len
+        )
+        if fold_aligned:
+            from ..runtime.pack import pack_cohort
         for chunk in chunks:
             progs = [programs[i] for i in chunk]
-            dst_c, ann_c = _chunk_concat_starts(progs)
-            m_task = max(m_task, tile_slices(dst_c, dblk, n_tiles, k - 1)[1])
+            _dst_c, ann_c = _chunk_concat_starts(progs)
             m_ann = max(m_ann, tile_slices(ann_c, dblk, n_tiles, 0)[1])
-        if blob is not None:
-            # fold the aligned-execute word-program shapes with the exact
-            # inputs dispatch will use (combined_len is constant run-wide:
-            # blob + the folded alt bucket)
-            combined_len = len(blob.data) + pad_to_bucket(alt)
-            if use_aligned_dense(out_b, combined_len):
-                from ..runtime.pack import pack_cohort
-
-                for chunk in chunks:
-                    progs = [programs[i] for i in chunk]
-                    packed = pack_cohort(progs, blob)
-                    if (not packed.contiguous
-                            or packed.dst.dtype != np.int32):
-                        continue
-                    _ws, _wb, bp, _bs, _wlo, _blo, mw, mb = (
-                        aligned_dense_inputs(
-                            packed.dst, packed.src_biased,
-                            packed.total_res, combined_len, dblk,
-                            n_tiles, k,
-                        )
+            packed = None
+            if fold_aligned:
+                packed = pack_cohort(progs, blob)
+                if not packed.contiguous or packed.dst.dtype != np.int32:
+                    packed = None
+            dst_c = packed.dst if packed is not None else _dst_c
+            m_task = max(m_task, tile_slices(dst_c, dblk, n_tiles, k - 1)[1])
+            if packed is not None:
+                _ws, _wb, bp, _bs, _wlo, _blo, mw, mb = (
+                    aligned_dense_inputs(
+                        packed.dst, packed.src_biased, packed.total_res,
+                        combined_len, dblk, n_tiles, k,
                     )
-                    bpos = max(bpos, len(bp))
-                    m_w = max(m_w, mw)
-                    m_b = max(m_b, mb)
+                )
+                bpos = max(bpos, len(bp))
+                m_w = max(m_w, mw)
+                m_b = max(m_b, mb)
     return Buckets(
         *(pad_to_bucket(v) for v in (out, tasks, ann, samples, alt)),
         spb=spb,

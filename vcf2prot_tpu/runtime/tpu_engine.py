@@ -61,7 +61,10 @@ _EXECUTE_CACHE = {}
 
 def build_aligned_program(dst, src_biased, total_res: int,
                           combined_len: int, wbytes: int = 4):
-    """Host-side compile pass for the word-aligned executor.
+    """Host-side compile pass for the word-aligned executor; dispatches to
+    the native one-pass builder for int32 packs (the numpy body below is
+    the oracle -- tests pin array equality), which avoids the word-length
+    cover/cumsum temporaries that cost ~2 s per 128 MB chunk in numpy.
 
     Splits the contiguous task stream into (a) word-uniform MIDDLE words --
     output words fully covered by one task whose word loads stay in bounds
@@ -76,6 +79,21 @@ def build_aligned_program(dst, src_biased, total_res: int,
     (unpadded; the caller buckets them). ``wbytes`` is the word width
     (production uses 4; the kernel-roofline shoot-out also measures 8).
     """
+    if wbytes == 4 and dst.dtype == np.int32 and src_biased.dtype == np.int32:
+        from ..native_bridge import load_native
+
+        native = load_native()
+        if native is not None and hasattr(native, "build_aligned_program"):
+            ws_b, wb_b, bp_b, bs_b = native.build_aligned_program(
+                np.ascontiguousarray(dst), np.ascontiguousarray(src_biased),
+                int(total_res), int(combined_len),
+            )
+            return (
+                np.frombuffer(ws_b, np.int32),
+                np.frombuffer(wb_b, np.int32),
+                np.frombuffer(bp_b, np.int32),
+                np.frombuffer(bs_b, np.int32),
+            )
     d = dst.astype(np.int64)
     s = src_biased.astype(np.int64)
     ends = np.append(d[1:], total_res)
