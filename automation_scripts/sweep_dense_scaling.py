@@ -197,7 +197,7 @@ def main():
                 dr._dense_fn(out_bucket, K, blk, m_task, m_ann), args_d
             )
         if "aligned" in MODES and dr.use_aligned_dense(
-            out_bucket, int(combined.shape[0])
+            out_bucket, int(combined.shape[0]), task_bucket
         ):
             ws, wb, bp, bs, wlo, blo, mw, mb = dr.aligned_dense_inputs(
                 packed.dst, packed.src_biased, packed.total_res,

@@ -748,18 +748,37 @@ def _chunk_concat_starts(progs):
     )
 
 
-def use_aligned_dense(out_bucket: int, combined_len: int) -> bool:
-    """Gate for the word-aligned execute inside the tiled dense pass:
-    shares the FASTA executor's preconditions (use_aligned_exec) plus its
-    own opt-out."""
+def use_aligned_dense(out_bucket: int, combined_len: int,
+                      task_bucket: int = 0) -> bool:
+    """Gate for the word-aligned execute inside the tiled dense pass.
+
+    Shares the FASTA executor's preconditions (use_aligned_exec), then
+    weighs the path's EXTRA host->device traffic (the word program:
+    ws/wb at 8 B/task plus bp/bs at ~out/2 bytes for the ~5% boundary
+    list) against its measured kernel saving (~3.2 ns/lane,
+    dense_scaling_sweep.tsv) at the probed upload bandwidth
+    (engine.h2d_rate). On a PCIe TPU host the upload is trivial and the
+    aligned path always wins; on this environment's forwarded link the
+    gate tracks the weather -- measured round 5: with H2D degraded to
+    ~20 MB/s the aligned north-star leg ran 72 s vs 27 s for the byte
+    path purely on upload time. VCF2PROT_ALIGNED_DENSE=1 forces on, =0
+    off, default auto."""
     import os
 
     from ..runtime.tpu_engine import use_aligned_exec
 
-    return (
-        os.environ.get("VCF2PROT_ALIGNED_DENSE", "1") != "0"
-        and use_aligned_exec(np.int32, out_bucket, combined_len)
-    )
+    env = os.environ.get("VCF2PROT_ALIGNED_DENSE", "auto")
+    if env == "0" or not use_aligned_exec(np.int32, out_bucket,
+                                          combined_len):
+        return False
+    if env == "1":
+        return True
+    from ..runtime.engine import h2d_rate
+
+    bw = h2d_rate()
+    extra_bytes = 8.0 * (task_bucket or out_bucket // 8) + out_bucket / 2
+    saved_s = 3.2e-9 * out_bucket
+    return extra_bytes / max(bw, 1.0) < saved_s
 
 
 def aligned_dense_inputs(dst, src_biased, total_res: int, combined_len: int,
@@ -823,7 +842,7 @@ def run_buckets(programs, chunks, k: int = 9, params=None,
             len(blob.data) + pad_to_bucket(alt) if blob is not None else 0
         )
         fold_aligned = blob is not None and use_aligned_dense(
-            out_b, combined_len
+            out_b, combined_len, pad_to_bucket(tasks)
         )
         if fold_aligned:
             from ..runtime.pack import pack_cohort
@@ -1024,7 +1043,8 @@ class DeviceNeoantigenEngine:
                 put(ann_e), put(st), self.params, total_res, put(tl),
                 put(al),
             )
-        elif use_aligned_dense(out_bucket, int(combined.shape[0])):
+        elif use_aligned_dense(out_bucket, int(combined.shape[0]),
+                               task_bucket):
             # word-aligned execute inside the tiled dense pass: the word
             # program + its per-tile slice tables ride extra inputs
             ws, wb, bp, bs, wlo, blo, mw, mb = aligned_dense_inputs(

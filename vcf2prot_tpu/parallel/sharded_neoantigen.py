@@ -119,7 +119,8 @@ def shard_buckets(programs, chunks, n_shards: int, k: int = 9,
                 pad_to_bucket(max(alt, 1)) if not pooled
                 else pad_to_bucket(max(len(programs[0].alt), 1))
             )
-            if use_aligned_dense(out_b, combined_len):
+            if use_aligned_dense(out_b, combined_len,
+                                 pad_to_bucket(tasks)):
                 for sp in shard_progs_all:
                     packed = pack_cohort(sp, blob)
                     if (not packed.contiguous
@@ -332,7 +333,7 @@ class ShardedNeoantigenEngine:
             alt.shape[0] if shared_alt else alt.shape[1]
         )
         aligned = (not compact) and use_aligned_dense(
-            buckets.out, combined_len
+            buckets.out, combined_len, buckets.tasks
         )
         if aligned:
             m_w, m_b = buckets.m_w, buckets.m_b

@@ -71,6 +71,54 @@ def _probe_d2h_rate(sample_bytes: int) -> float:
     return min(rates)
 
 
+def h2d_rate(sample_bytes: int = 1 << 24, timeout_s: float = 15.0) -> float:
+    """Measured host->device upload rate (bytes/s), cached per process.
+
+    ``inf`` on the CPU backend (uploads are memcpy); ``0.0`` when the probe
+    hangs or fails (a stalled forwarded link must read as "no upload
+    bandwidth", not wedge the caller -- same watchdog discipline as
+    resolve_auto). The fixed dispatch+fetch round trip is subtracted via a
+    tiny-buffer control so the number is marginal bandwidth, which is what
+    upload-heavy device paths (the aligned-execute word program) gate on."""
+    key = ("h2d", sample_bytes)
+    if key in _PROBE_CACHE:
+        return _PROBE_CACHE[key]
+    import threading
+    import time
+
+    result = {"rate": 0.0}
+
+    def probe():
+        try:
+            import numpy as np
+
+            import jax
+
+            dev = jax.devices()[0]
+            if dev.platform == "cpu":
+                result["rate"] = float("inf")
+                return
+
+            def once(nb):
+                x = np.empty(nb, np.uint8)
+                t0 = time.perf_counter()
+                y = jax.device_put(x, dev)
+                np.asarray(y[:1])  # true sync: 1-byte D2H fetch
+                return time.perf_counter() - t0
+
+            small = min(once(1 << 10) for _ in range(2))
+            big = min(once(sample_bytes) for _ in range(2))
+            result["rate"] = sample_bytes / max(big - small, 1e-3)
+        except Exception:
+            pass
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    _PROBE_CACHE[key] = result["rate"]
+    return result["rate"]
+
+
 def _probe_device_roundtrip() -> bool:
     """True if a small compute + SCALAR fetch completes -- the gate for
     workloads whose device->host traffic is top-k scores, not bulk tapes."""
